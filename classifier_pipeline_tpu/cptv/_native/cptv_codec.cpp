@@ -1,0 +1,481 @@
+// CPTV v2 codec (decoder + encoder), C++ implementation.
+//
+// CPTV ("Cacophony Project Thermal Video") is the container used by FLIR
+// Lepton thermal cameras in the Cacophony ecosystem.  The reference pipeline
+// consumes it through an external Rust extension (cptv_rs_python_bindings; see
+// reference src/track/cliptrackextractor.py:30).  This file is a clean-room
+// reimplementation derived from inspecting real .cptv recordings:
+//
+//   outer layer : gzip stream
+//   magic       : "CPTV" + version byte (2)
+//   sections    : 'H' (one header) then repeated 'F' (frames)
+//   section body: u8 field-count, then fields of [u8 len][u8 code][len bytes]
+//
+// Header field codes (all integers little-endian):
+//   T u64 timestamp-µs   X u32 width        Y u32 height      C u8 compression
+//   D str devicename     E str model        B str brand       V str firmware
+//   I u32 device-id      N u32 camera-serial Z u8 fps         P u8 preview-secs
+//   M str motion-config  L f32 latitude     O f32 longitude   S u64 loc-ts-µs
+//   A f32 altitude       U f32 accuracy     g u8 has-background-frame
+//
+// Frame field codes:
+//   t u32 time-on-ms     c u32 last-ffc-ms  a f32 temp-c      b f32 last-ffc-temp-c
+//   w u8 bit-width       f u32 data-size    g u8 is-background-frame
+//
+// Frame data (compression 1): an i32 LE "first delta" (pixel[0] minus previous
+// frame's pixel[0]), then (W*H - 1) signed values bit-packed MSB-first at
+// bit-width bits each.  Those values are the derivative, along a boustrophedon
+// (snake) scan with odd rows reversed, of the per-pixel difference between this
+// frame and the previous frame.  Decoding = cumulative sum along the snake,
+// un-snake, add previous frame.  The background frame (if present) is frame 0
+// and is chained into the per-frame deltas like any other frame.
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <string>
+#include <vector>
+#include <zlib.h>
+
+namespace {
+
+struct FrameMeta {
+  uint32_t time_on_ms = 0;
+  uint32_t last_ffc_ms = 0;
+  float temp_c = 0.f;
+  float last_ffc_temp_c = 0.f;
+  uint8_t is_background = 0;
+};
+
+struct Header {
+  uint64_t timestamp_us = 0;
+  uint32_t width = 0, height = 0;
+  uint8_t compression = 1;
+  uint32_t device_id = 0, camera_serial = 0;
+  uint8_t fps = 9, preview_secs = 0, has_background = 0;
+  float latitude = 0.f, longitude = 0.f, altitude = 0.f, accuracy = 0.f;
+  uint64_t loc_timestamp_us = 0;
+  std::string devicename, model, brand, firmware, motion_config;
+};
+
+struct Reader {
+  Header header;
+  std::vector<uint16_t> pixels;     // n_frames * W * H
+  std::vector<FrameMeta> metas;
+  int n_frames = 0;
+  std::string error;
+};
+
+bool gunzip_all(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
+  z_stream zs{};
+  if (inflateInit2(&zs, 15 + 32) != Z_OK) return false;
+  out.clear();
+  out.reserve(n * 6);
+  std::vector<uint8_t> buf(1 << 20);
+  zs.next_in = const_cast<Bytef*>(src);
+  zs.avail_in = static_cast<uInt>(n);
+  int ret = Z_OK;
+  do {
+    zs.next_out = buf.data();
+    zs.avail_out = static_cast<uInt>(buf.size());
+    ret = inflate(&zs, Z_NO_FLUSH);
+    if (ret != Z_OK && ret != Z_STREAM_END) { inflateEnd(&zs); return false; }
+    out.insert(out.end(), buf.data(), buf.data() + (buf.size() - zs.avail_out));
+    // Concatenated gzip members: restart inflate on leftover input.
+    if (ret == Z_STREAM_END && zs.avail_in > 0) {
+      if (inflateReset2(&zs, 15 + 32) != Z_OK) { inflateEnd(&zs); return false; }
+      ret = Z_OK;
+    }
+  } while (ret != Z_STREAM_END);
+  inflateEnd(&zs);
+  return true;
+}
+
+template <typename T>
+T read_le(const uint8_t* p) {
+  T v;
+  memcpy(&v, p, sizeof(T));
+  return v;  // little-endian hosts only (x86/arm)
+}
+
+class FieldParser {
+ public:
+  FieldParser(const uint8_t* data, size_t size, size_t pos) : d_(data), n_(size), pos_(pos) {}
+  // Parses one section's fields; calls cb(code, ptr, len).
+  template <typename CB>
+  bool parse(CB cb) {
+    if (pos_ >= n_) return false;
+    unsigned count = d_[pos_++];
+    for (unsigned i = 0; i < count; i++) {
+      if (pos_ + 2 > n_) return false;
+      unsigned len = d_[pos_];
+      char code = static_cast<char>(d_[pos_ + 1]);
+      pos_ += 2;
+      if (pos_ + len > n_) return false;
+      cb(code, d_ + pos_, len);
+      pos_ += len;
+    }
+    return true;
+  }
+  size_t pos() const { return pos_; }
+
+ private:
+  const uint8_t* d_;
+  size_t n_;
+  size_t pos_;
+};
+
+// Decodes one frame's packed data into `out` given the previous frame.
+void decode_frame_data(const uint8_t* data, size_t size, int w_bits, int width,
+                       int height, const uint16_t* prev, uint16_t* out) {
+  const int npix = width * height;
+  int32_t value = read_le<int32_t>(data);  // snake-order running delta
+  const uint8_t* packed = data + 4;
+  uint64_t bitbuf = 0;
+  int nbits = 0;
+  size_t bytepos = 0;
+  const size_t nbytes = size - 4;
+  const uint32_t sign_bit = 1u << (w_bits - 1);
+  const uint32_t mask = (w_bits >= 32) ? 0xffffffffu : ((1u << w_bits) - 1);
+  for (int i = 0; i < npix; i++) {
+    if (i > 0) {
+      while (nbits < w_bits && bytepos < nbytes) {
+        bitbuf = (bitbuf << 8) | packed[bytepos++];
+        nbits += 8;
+      }
+      uint32_t raw = static_cast<uint32_t>(bitbuf >> (nbits - w_bits)) & mask;
+      nbits -= w_bits;
+      int32_t adj = static_cast<int32_t>(raw);
+      if (raw & sign_bit) adj -= static_cast<int32_t>(mask) + 1;
+      value += adj;
+    }
+    int row = i / width;
+    int col = i % width;
+    if (row & 1) col = width - 1 - col;  // snake scan
+    int idx = row * width + col;
+    out[idx] = static_cast<uint16_t>(static_cast<int32_t>(prev ? prev[idx] : 0) + value);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// ---------------------------------------------------------------- reader ----
+
+void* cptv_open(const uint8_t* buf, size_t size) {
+  auto* r = new Reader();
+  std::vector<uint8_t> data;
+  if (!gunzip_all(buf, size, data)) {
+    r->error = "gzip decompression failed";
+    return r;
+  }
+  if (data.size() < 6 || memcmp(data.data(), "CPTV", 4) != 0) {
+    r->error = "bad magic";
+    return r;
+  }
+  if (data[4] != 2) {
+    r->error = "unsupported CPTV version";
+    return r;
+  }
+  size_t pos = 5;
+  if (static_cast<char>(data[pos]) != 'H') {
+    r->error = "expected header section";
+    return r;
+  }
+  pos++;
+  Header& h = r->header;
+  FieldParser hp(data.data(), data.size(), pos);
+  bool ok = hp.parse([&](char code, const uint8_t* p, unsigned len) {
+    switch (code) {
+      case 'T': h.timestamp_us = read_le<uint64_t>(p); break;
+      case 'X': h.width = read_le<uint32_t>(p); break;
+      case 'Y': h.height = read_le<uint32_t>(p); break;
+      case 'C': h.compression = p[0]; break;
+      case 'D': h.devicename.assign(reinterpret_cast<const char*>(p), len); break;
+      case 'E': h.model.assign(reinterpret_cast<const char*>(p), len); break;
+      case 'B': h.brand.assign(reinterpret_cast<const char*>(p), len); break;
+      case 'V': h.firmware.assign(reinterpret_cast<const char*>(p), len); break;
+      case 'M': h.motion_config.assign(reinterpret_cast<const char*>(p), len); break;
+      case 'I': h.device_id = read_le<uint32_t>(p); break;
+      case 'N': h.camera_serial = read_le<uint32_t>(p); break;
+      case 'Z': h.fps = p[0]; break;
+      case 'P': h.preview_secs = p[0]; break;
+      case 'L': h.latitude = read_le<float>(p); break;
+      case 'O': h.longitude = read_le<float>(p); break;
+      case 'S': h.loc_timestamp_us = read_le<uint64_t>(p); break;
+      case 'A': h.altitude = read_le<float>(p); break;
+      case 'U': h.accuracy = read_le<float>(p); break;
+      case 'g': h.has_background = p[0]; break;
+      default: break;  // forward compatible: skip unknown fields
+    }
+  });
+  if (!ok) {
+    r->error = "truncated header";
+    return r;
+  }
+  pos = hp.pos();
+  const int W = static_cast<int>(h.width), H = static_cast<int>(h.height);
+  if (W <= 0 || H <= 0 || W > 4096 || H > 4096) {
+    r->error = "bad resolution";
+    return r;
+  }
+  const int npix = W * H;
+  std::vector<uint16_t> prev(npix, 0);
+  while (pos < data.size()) {
+    if (static_cast<char>(data[pos]) != 'F') {
+      r->error = "unexpected section";
+      return r;
+    }
+    pos++;
+    FrameMeta meta;
+    uint32_t fsize = 0;
+    int w_bits = 0;
+    FieldParser fp(data.data(), data.size(), pos);
+    ok = fp.parse([&](char code, const uint8_t* p, unsigned len) {
+      switch (code) {
+        case 't': meta.time_on_ms = read_le<uint32_t>(p); break;
+        case 'c': meta.last_ffc_ms = read_le<uint32_t>(p); break;
+        case 'a': meta.temp_c = read_le<float>(p); break;
+        case 'b': meta.last_ffc_temp_c = read_le<float>(p); break;
+        case 'w': w_bits = p[0]; break;
+        case 'f': fsize = read_le<uint32_t>(p); break;
+        case 'g': meta.is_background = p[0]; break;
+        default: break;
+      }
+    });
+    if (!ok) {
+      r->error = "truncated frame header";
+      return r;
+    }
+    pos = fp.pos();
+    if (fsize < 4 || pos + fsize > data.size() || w_bits < 1 || w_bits > 32) {
+      r->error = "bad frame data";
+      return r;
+    }
+    size_t base = r->pixels.size();
+    r->pixels.resize(base + npix);
+    decode_frame_data(data.data() + pos, fsize, w_bits, W, H,
+                      r->n_frames == 0 ? nullptr : prev.data(),
+                      r->pixels.data() + base);
+    memcpy(prev.data(), r->pixels.data() + base, npix * sizeof(uint16_t));
+    r->metas.push_back(meta);
+    r->n_frames++;
+    pos += fsize;
+  }
+  return r;
+}
+
+void* cptv_open_file(const char* path) {
+  FILE* f = fopen(path, "rb");
+  if (!f) {
+    auto* r = new Reader();
+    r->error = "cannot open file";
+    return r;
+  }
+  fseek(f, 0, SEEK_END);
+  long size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> buf(size);
+  size_t got = fread(buf.data(), 1, size, f);
+  fclose(f);
+  if (static_cast<long>(got) != size) {
+    auto* r = new Reader();
+    r->error = "short read";
+    return r;
+  }
+  return cptv_open(buf.data(), buf.size());
+}
+
+const char* cptv_error(void* h) {
+  auto* r = static_cast<Reader*>(h);
+  return r->error.empty() ? nullptr : r->error.c_str();
+}
+
+int cptv_num_frames(void* h) { return static_cast<Reader*>(h)->n_frames; }
+
+// Header accessors. String getters return internal pointers valid until close.
+uint64_t cptv_timestamp_us(void* h) { return static_cast<Reader*>(h)->header.timestamp_us; }
+uint32_t cptv_width(void* h) { return static_cast<Reader*>(h)->header.width; }
+uint32_t cptv_height(void* h) { return static_cast<Reader*>(h)->header.height; }
+uint32_t cptv_device_id(void* h) { return static_cast<Reader*>(h)->header.device_id; }
+uint32_t cptv_camera_serial(void* h) { return static_cast<Reader*>(h)->header.camera_serial; }
+uint8_t cptv_fps(void* h) { return static_cast<Reader*>(h)->header.fps; }
+uint8_t cptv_preview_secs(void* h) { return static_cast<Reader*>(h)->header.preview_secs; }
+uint8_t cptv_has_background(void* h) { return static_cast<Reader*>(h)->header.has_background; }
+float cptv_latitude(void* h) { return static_cast<Reader*>(h)->header.latitude; }
+float cptv_longitude(void* h) { return static_cast<Reader*>(h)->header.longitude; }
+float cptv_altitude(void* h) { return static_cast<Reader*>(h)->header.altitude; }
+float cptv_accuracy(void* h) { return static_cast<Reader*>(h)->header.accuracy; }
+uint64_t cptv_loc_timestamp_us(void* h) { return static_cast<Reader*>(h)->header.loc_timestamp_us; }
+const char* cptv_devicename(void* h) { return static_cast<Reader*>(h)->header.devicename.c_str(); }
+const char* cptv_model(void* h) { return static_cast<Reader*>(h)->header.model.c_str(); }
+const char* cptv_brand(void* h) { return static_cast<Reader*>(h)->header.brand.c_str(); }
+const char* cptv_firmware(void* h) { return static_cast<Reader*>(h)->header.firmware.c_str(); }
+const char* cptv_motion_config(void* h) { return static_cast<Reader*>(h)->header.motion_config.c_str(); }
+
+// Copies all frames into caller-provided buffers. pixels: n*W*H u16.
+// meta layout per frame: [time_on_ms u32, last_ffc_ms u32, is_background u32,
+// temp_c f32, last_ffc_temp_c f32] as 5 u32 slots.
+int cptv_read_all(void* h, uint16_t* pixels, uint32_t* meta) {
+  auto* r = static_cast<Reader*>(h);
+  if (!r->error.empty()) return -1;
+  memcpy(pixels, r->pixels.data(), r->pixels.size() * sizeof(uint16_t));
+  for (int i = 0; i < r->n_frames; i++) {
+    const FrameMeta& m = r->metas[i];
+    meta[i * 5 + 0] = m.time_on_ms;
+    meta[i * 5 + 1] = m.last_ffc_ms;
+    meta[i * 5 + 2] = m.is_background;
+    memcpy(&meta[i * 5 + 3], &m.temp_c, 4);
+    memcpy(&meta[i * 5 + 4], &m.last_ffc_temp_c, 4);
+  }
+  return r->n_frames;
+}
+
+void cptv_close(void* h) { delete static_cast<Reader*>(h); }
+
+// ---------------------------------------------------------------- writer ----
+
+struct Writer {
+  gzFile gz = nullptr;
+  int width = 0, height = 0;
+  std::vector<uint16_t> prev;
+  bool first = true;
+  std::string error;
+};
+
+static void put_field(std::string& out, char code, const void* data, uint8_t len) {
+  out.push_back(static_cast<char>(len));
+  out.push_back(code);
+  out.append(reinterpret_cast<const char*>(data), len);
+}
+
+static void put_str_field(std::string& out, char code, const char* s) {
+  size_t len = strlen(s);
+  if (len > 255) len = 255;
+  put_field(out, code, s, static_cast<uint8_t>(len));
+}
+
+void* cptv_writer_open(const char* path, uint32_t width, uint32_t height,
+                       uint64_t timestamp_us, const char* devicename,
+                       const char* model, const char* brand, uint32_t device_id,
+                       uint8_t fps, uint8_t preview_secs, uint8_t has_background,
+                       float latitude, float longitude) {
+  auto* w = new Writer();
+  w->width = static_cast<int>(width);
+  w->height = static_cast<int>(height);
+  w->prev.assign(width * height, 0);
+  w->gz = gzopen(path, "wb6");
+  if (!w->gz) {
+    w->error = "cannot open output";
+    return w;
+  }
+  std::string fields;
+  uint8_t compression = 1;
+  put_field(fields, 'T', &timestamp_us, 8);
+  put_field(fields, 'X', &width, 4);
+  put_field(fields, 'Y', &height, 4);
+  put_field(fields, 'C', &compression, 1);
+  put_field(fields, 'Z', &fps, 1);
+  put_field(fields, 'P', &preview_secs, 1);
+  put_field(fields, 'I', &device_id, 4);
+  if (has_background) put_field(fields, 'g', &has_background, 1);
+  if (latitude != 0.f) put_field(fields, 'L', &latitude, 4);
+  if (longitude != 0.f) put_field(fields, 'O', &longitude, 4);
+  int count = 7 + (has_background ? 1 : 0) + (latitude != 0.f) + (longitude != 0.f);
+  if (devicename && devicename[0]) { put_str_field(fields, 'D', devicename); count++; }
+  if (model && model[0]) { put_str_field(fields, 'E', model); count++; }
+  if (brand && brand[0]) { put_str_field(fields, 'B', brand); count++; }
+  std::string out = "CPTV";
+  out.push_back(2);
+  out.push_back('H');
+  out.push_back(static_cast<char>(count));
+  out += fields;
+  gzwrite(w->gz, out.data(), static_cast<unsigned>(out.size()));
+  return w;
+}
+
+const char* cptv_writer_error(void* h) {
+  auto* w = static_cast<Writer*>(h);
+  return w->error.empty() ? nullptr : w->error.c_str();
+}
+
+int cptv_writer_write_frame(void* h, const uint16_t* pix, uint32_t time_on_ms,
+                            uint32_t last_ffc_ms, float temp_c,
+                            float last_ffc_temp_c, uint8_t is_background) {
+  auto* w = static_cast<Writer*>(h);
+  if (!w->gz) return -1;
+  const int W = w->width, H = w->height, npix = W * H;
+  // Per-pixel delta vs previous frame, in snake order.
+  std::vector<int32_t> snake(npix);
+  for (int row = 0; row < H; row++) {
+    for (int col = 0; col < W; col++) {
+      int src = row * W + col;
+      int dst = row * W + ((row & 1) ? (W - 1 - col) : col);
+      snake[dst] = static_cast<int32_t>(pix[src]) -
+                   static_cast<int32_t>(w->first ? 0 : w->prev[src]);
+    }
+  }
+  // Derivative along the snake; find needed bit width for values [1..].
+  int32_t prev_v = snake[0];
+  int32_t max_abs = 0;
+  std::vector<int32_t> adj(npix - 1);
+  for (int i = 1; i < npix; i++) {
+    adj[i - 1] = snake[i] - prev_v;
+    prev_v = snake[i];
+    int32_t a = adj[i - 1] < 0 ? -adj[i - 1] - 1 : adj[i - 1];
+    if (a > max_abs) max_abs = a;
+  }
+  int w_bits = 2;
+  while (w_bits < 32 && (max_abs >> (w_bits - 1)) != 0) w_bits++;
+  // Pack MSB-first.
+  std::vector<uint8_t> packed((static_cast<size_t>(npix - 1) * w_bits + 7) / 8, 0);
+  uint64_t bitbuf = 0;
+  int nbits = 0;
+  size_t bytepos = 0;
+  const uint32_t mask = (w_bits >= 32) ? 0xffffffffu : ((1u << w_bits) - 1);
+  for (int i = 0; i < npix - 1; i++) {
+    bitbuf = (bitbuf << w_bits) | (static_cast<uint32_t>(adj[i]) & mask);
+    nbits += w_bits;
+    while (nbits >= 8) {
+      packed[bytepos++] = static_cast<uint8_t>(bitbuf >> (nbits - 8));
+      nbits -= 8;
+    }
+  }
+  if (nbits > 0) packed[bytepos++] = static_cast<uint8_t>(bitbuf << (8 - nbits));
+  uint32_t fsize = static_cast<uint32_t>(4 + packed.size());
+  std::string fields;
+  int count = 2;
+  uint8_t wb = static_cast<uint8_t>(w_bits);
+  if (is_background) {
+    put_field(fields, 'g', &is_background, 1);
+    count++;
+  } else {
+    put_field(fields, 't', &time_on_ms, 4);
+    put_field(fields, 'c', &last_ffc_ms, 4);
+    put_field(fields, 'a', &temp_c, 4);
+    put_field(fields, 'b', &last_ffc_temp_c, 4);
+    count += 4;
+  }
+  put_field(fields, 'w', &wb, 1);
+  put_field(fields, 'f', &fsize, 4);
+  std::string out = "F";
+  out.push_back(static_cast<char>(count));
+  out += fields;
+  out.append(reinterpret_cast<const char*>(&snake[0]), 4);  // first value i32 LE
+  out.append(reinterpret_cast<const char*>(packed.data()), packed.size());
+  gzwrite(w->gz, out.data(), static_cast<unsigned>(out.size()));
+  memcpy(w->prev.data(), pix, npix * sizeof(uint16_t));
+  w->first = false;
+  return 0;
+}
+
+int cptv_writer_close(void* h) {
+  auto* w = static_cast<Writer*>(h);
+  int rc = 0;
+  if (w->gz) rc = gzclose(w->gz);
+  delete w;
+  return rc;
+}
+
+}  // extern "C"

@@ -1,0 +1,526 @@
+"""CPTV v2 reader/writer.
+
+Replaces the reference's external Rust extension (``cptv_rs_python_bindings``;
+reference src/track/cliptrackextractor.py:30, src/ml_tools/rawdb.py:23) and
+``python-cptv`` writer (reference src/piclassifier/cptvrecorder.py:4).
+
+Two backends:
+  * native  — C++ (``_native/cptv_codec.cpp``) via ctypes, built on demand.
+  * python  — pure NumPy fallback, also the readable spec of the format.
+
+The decoder is whole-clip: batch tracking wants every frame on device as one
+(T, H, W) array, so we decode eagerly into a contiguous uint16 buffer instead
+of mimicking the reference's frame-at-a-time iterator (a streaming-style
+``next_frame`` view is still provided for the Pi runtime / replay paths).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import dataclasses
+import gzip
+import logging
+import os
+import struct
+import subprocess
+from pathlib import Path
+
+import numpy as np
+
+_NATIVE_DIR = Path(__file__).parent / "_native"
+_LIB_PATH = _NATIVE_DIR / "libcptv_codec.so"
+_lib = None
+_lib_failed = False
+
+
+def _build_native() -> bool:
+    try:
+        subprocess.run(
+            ["make", "-s"],
+            cwd=_NATIVE_DIR,
+            check=True,
+            capture_output=True,
+            timeout=120,
+        )
+        return _LIB_PATH.exists()
+    except Exception as exc:  # pragma: no cover - toolchain missing
+        logging.warning("cptv native build failed: %s", exc)
+        return False
+
+
+def _load_native():
+    global _lib, _lib_failed
+    if _lib is not None or _lib_failed:
+        return _lib
+    if not _LIB_PATH.exists() and not _build_native():
+        _lib_failed = True
+        return None
+    lib = ctypes.CDLL(str(_LIB_PATH))
+    lib.cptv_open_file.restype = ctypes.c_void_p
+    lib.cptv_open_file.argtypes = [ctypes.c_char_p]
+    lib.cptv_open.restype = ctypes.c_void_p
+    lib.cptv_open.argtypes = [ctypes.c_char_p, ctypes.c_size_t]
+    lib.cptv_error.restype = ctypes.c_char_p
+    lib.cptv_error.argtypes = [ctypes.c_void_p]
+    for name, restype in [
+        ("cptv_num_frames", ctypes.c_int),
+        ("cptv_width", ctypes.c_uint32),
+        ("cptv_height", ctypes.c_uint32),
+        ("cptv_device_id", ctypes.c_uint32),
+        ("cptv_camera_serial", ctypes.c_uint32),
+        ("cptv_fps", ctypes.c_uint8),
+        ("cptv_preview_secs", ctypes.c_uint8),
+        ("cptv_has_background", ctypes.c_uint8),
+        ("cptv_latitude", ctypes.c_float),
+        ("cptv_longitude", ctypes.c_float),
+        ("cptv_altitude", ctypes.c_float),
+        ("cptv_accuracy", ctypes.c_float),
+        ("cptv_timestamp_us", ctypes.c_uint64),
+        ("cptv_loc_timestamp_us", ctypes.c_uint64),
+        ("cptv_devicename", ctypes.c_char_p),
+        ("cptv_model", ctypes.c_char_p),
+        ("cptv_brand", ctypes.c_char_p),
+        ("cptv_firmware", ctypes.c_char_p),
+        ("cptv_motion_config", ctypes.c_char_p),
+    ]:
+        fn = getattr(lib, name)
+        fn.restype = restype
+        fn.argtypes = [ctypes.c_void_p]
+    lib.cptv_read_all.restype = ctypes.c_int
+    lib.cptv_read_all.argtypes = [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+    lib.cptv_close.restype = None
+    lib.cptv_close.argtypes = [ctypes.c_void_p]
+    lib.cptv_writer_open.restype = ctypes.c_void_p
+    lib.cptv_writer_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_uint32, ctypes.c_uint32, ctypes.c_uint64,
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_uint32,
+        ctypes.c_uint8, ctypes.c_uint8, ctypes.c_uint8, ctypes.c_float,
+        ctypes.c_float,
+    ]
+    lib.cptv_writer_error.restype = ctypes.c_char_p
+    lib.cptv_writer_error.argtypes = [ctypes.c_void_p]
+    lib.cptv_writer_write_frame.restype = ctypes.c_int
+    lib.cptv_writer_write_frame.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32, ctypes.c_uint32,
+        ctypes.c_float, ctypes.c_float, ctypes.c_uint8,
+    ]
+    lib.cptv_writer_close.restype = ctypes.c_int
+    lib.cptv_writer_close.argtypes = [ctypes.c_void_p]
+    _lib = lib
+    return _lib
+
+
+@dataclasses.dataclass
+class CptvHeader:
+    timestamp_us: int = 0
+    x_resolution: int = 160
+    y_resolution: int = 120
+    compression: int = 1
+    devicename: str = ""
+    model: str = ""
+    brand: str = ""
+    firmware: str = ""
+    motion_config: str = ""
+    device_id: int = 0
+    camera_serial: int = 0
+    fps: int = 9
+    preview_secs: int = 0
+    latitude: float = 0.0
+    longitude: float = 0.0
+    loc_timestamp_us: int = 0
+    altitude: float = 0.0
+    accuracy: float = 0.0
+    has_background: bool = False
+
+    @property
+    def timestamp(self) -> int:
+        """Microseconds since epoch (reference Rust binding exposes this)."""
+        return self.timestamp_us
+
+
+@dataclasses.dataclass
+class CptvFrame:
+    """One decoded frame. ``pix`` is a (H, W) uint16 view into the clip buffer."""
+
+    pix: np.ndarray
+    time_on: int = 0  # milliseconds
+    last_ffc_time: int = 0  # milliseconds
+    temp_c: float = 0.0
+    last_ffc_temp_c: float = 0.0
+    background_frame: bool = False
+
+
+class CptvClip:
+    """A fully decoded CPTV clip: header + (T, H, W) uint16 pixel block."""
+
+    def __init__(self, header: CptvHeader, pixels: np.ndarray, meta: np.ndarray):
+        self.header = header
+        self.pixels = pixels  # (T, H, W) uint16
+        self._meta = meta  # (T, 5) uint32 [time_on, last_ffc, is_bg, temp, ffc_temp]
+
+    @property
+    def n_frames(self) -> int:
+        return self.pixels.shape[0]
+
+    @property
+    def time_on_ms(self) -> np.ndarray:
+        return self._meta[:, 0]
+
+    @property
+    def last_ffc_ms(self) -> np.ndarray:
+        return self._meta[:, 1]
+
+    @property
+    def is_background(self) -> np.ndarray:
+        return self._meta[:, 2].astype(bool)
+
+    @property
+    def temp_c(self) -> np.ndarray:
+        return self._meta[:, 3].view(np.float32)
+
+    @property
+    def ffc_temp_c(self) -> np.ndarray:
+        return self._meta[:, 4].view(np.float32)
+
+    def frame(self, i: int) -> CptvFrame:
+        m = self._meta[i]
+        return CptvFrame(
+            pix=self.pixels[i],
+            time_on=int(m[0]),
+            last_ffc_time=int(m[1]),
+            temp_c=float(np.uint32(m[3]).view(np.float32)),
+            last_ffc_temp_c=float(np.uint32(m[4]).view(np.float32)),
+            background_frame=bool(m[2]),
+        )
+
+    def frames(self):
+        for i in range(self.n_frames):
+            yield self.frame(i)
+
+    @property
+    def background(self) -> np.ndarray | None:
+        """The embedded background frame, if the clip has one."""
+        if self.n_frames and self._meta[0, 2]:
+            return self.pixels[0]
+        return None
+
+
+# ------------------------------------------------------------ pure python ---
+
+
+def _parse_fields(data: bytes, pos: int):
+    n = data[pos]
+    pos += 1
+    fields = {}
+    for _ in range(n):
+        ln = data[pos]
+        code = chr(data[pos + 1])
+        pos += 2
+        fields[code] = data[pos : pos + ln]
+        pos += ln
+    return fields, pos
+
+
+def _decode_py(path_or_bytes) -> CptvClip:
+    if isinstance(path_or_bytes, (str, Path)):
+        raw = Path(path_or_bytes).read_bytes()
+    else:
+        raw = path_or_bytes
+    data = gzip.decompress(raw)
+    if data[:4] != b"CPTV" or data[4] != 2:
+        raise ValueError("not a CPTV v2 file")
+    pos = 5
+    if chr(data[pos]) != "H":
+        raise ValueError("expected header section")
+    fields, pos = _parse_fields(data, pos + 1)
+
+    def u(code, fmt, default=0):
+        return struct.unpack(fmt, fields[code])[0] if code in fields else default
+
+    def s(code):
+        return fields[code].decode("utf-8", "replace") if code in fields else ""
+
+    header = CptvHeader(
+        timestamp_us=u("T", "<Q"),
+        x_resolution=u("X", "<I", 160),
+        y_resolution=u("Y", "<I", 120),
+        compression=u("C", "<B", 1),
+        devicename=s("D"),
+        model=s("E"),
+        brand=s("B"),
+        firmware=s("V"),
+        motion_config=s("M"),
+        device_id=u("I", "<I"),
+        camera_serial=u("N", "<I"),
+        fps=u("Z", "<B", 9),
+        preview_secs=u("P", "<B"),
+        latitude=u("L", "<f", 0.0),
+        longitude=u("O", "<f", 0.0),
+        loc_timestamp_us=u("S", "<Q"),
+        altitude=u("A", "<f", 0.0),
+        accuracy=u("U", "<f", 0.0),
+        has_background=bool(u("g", "<B")),
+    )
+    W, H = header.x_resolution, header.y_resolution
+    npix = W * H
+    frames = []
+    metas = []
+    prev = np.zeros((H, W), np.int64)
+    while pos < len(data):
+        if chr(data[pos]) != "F":
+            raise ValueError(f"unexpected section {data[pos]!r} at {pos}")
+        f, pos = _parse_fields(data, pos + 1)
+        size = struct.unpack("<I", f["f"])[0]
+        w_bits = f["w"][0]
+        buf = data[pos : pos + size]
+        pos += size
+        first = struct.unpack("<i", buf[:4])[0]
+        bits = np.unpackbits(np.frombuffer(buf[4:], np.uint8))
+        vals = bits[: (npix - 1) * w_bits].reshape(npix - 1, w_bits).astype(np.int64)
+        adj = np.zeros(npix - 1, np.int64)
+        for b in range(w_bits):
+            adj = (adj << 1) | vals[:, b]
+        adj[adj >= (1 << (w_bits - 1))] -= 1 << w_bits
+        snake = np.concatenate([[first], adj]).cumsum().reshape(H, W)
+        snake[1::2] = snake[1::2, ::-1]
+        prev = prev + snake
+        frames.append(prev.astype(np.uint16))
+        t = struct.unpack("<I", f["t"])[0] if "t" in f else 0
+        c = struct.unpack("<I", f["c"])[0] if "c" in f else 0
+        g = f["g"][0] if "g" in f else 0
+        ta = struct.unpack("<I", f["a"])[0] if "a" in f else 0
+        tb = struct.unpack("<I", f["b"])[0] if "b" in f else 0
+        metas.append([t, c, g, ta, tb])
+    pixels = np.stack(frames) if frames else np.zeros((0, H, W), np.uint16)
+    return CptvClip(header, pixels, np.array(metas, np.uint32).reshape(-1, 5))
+
+
+def _encode_py(
+    path,
+    pixels: np.ndarray,
+    header: CptvHeader,
+    time_on_ms=None,
+    last_ffc_ms=None,
+    is_background=None,
+):
+    """Pure-python CPTV encoder (mirror of the C++ writer)."""
+    T, H, W = pixels.shape
+    out = bytearray(b"CPTV\x02")
+
+    def field(code, data):
+        return bytes([len(data), ord(code)]) + data
+
+    hfields = [
+        field("T", struct.pack("<Q", header.timestamp_us)),
+        field("X", struct.pack("<I", W)),
+        field("Y", struct.pack("<I", H)),
+        field("C", b"\x01"),
+        field("Z", bytes([header.fps])),
+        field("P", bytes([header.preview_secs])),
+        field("I", struct.pack("<I", header.device_id)),
+    ]
+    if header.has_background:
+        hfields.append(field("g", b"\x01"))
+    if header.devicename:
+        hfields.append(field("D", header.devicename.encode()[:255]))
+    if header.model:
+        hfields.append(field("E", header.model.encode()[:255]))
+    if header.brand:
+        hfields.append(field("B", header.brand.encode()[:255]))
+    out += b"H" + bytes([len(hfields)]) + b"".join(hfields)
+    prev = np.zeros((H, W), np.int64)
+    for i in range(T):
+        cur = pixels[i].astype(np.int64)
+        snake = cur - prev
+        snake = snake.copy()
+        snake[1::2] = snake[1::2, ::-1]
+        flat = snake.reshape(-1)
+        adj = np.diff(flat)
+        max_abs = int(np.maximum(adj, -adj - 1).max()) if adj.size else 0
+        w_bits = max(2, int(max_abs).bit_length() + 1)
+        mask = (1 << w_bits) - 1
+        u = (adj & mask).astype(np.uint64)
+        npix1 = adj.size
+        bits = np.zeros((npix1, w_bits), np.uint8)
+        for b in range(w_bits):
+            bits[:, b] = (u >> (w_bits - 1 - b)) & 1
+        packed = np.packbits(bits.reshape(-1))
+        bg = bool(is_background[i]) if is_background is not None else False
+        ffields = []
+        if bg:
+            ffields.append(field("g", b"\x01"))
+        else:
+            ffields.append(field("t", struct.pack("<I", int(time_on_ms[i]) if time_on_ms is not None else 0)))
+            ffields.append(field("c", struct.pack("<I", int(last_ffc_ms[i]) if last_ffc_ms is not None else 0)))
+            ffields.append(field("a", struct.pack("<f", 0.0)))
+            ffields.append(field("b", struct.pack("<f", 0.0)))
+        fsize = 4 + packed.size
+        ffields.append(field("w", bytes([w_bits])))
+        ffields.append(field("f", struct.pack("<I", fsize)))
+        out += b"F" + bytes([len(ffields)]) + b"".join(ffields)
+        out += struct.pack("<i", int(flat[0])) + packed.tobytes()
+        prev = cur
+    Path(path).write_bytes(gzip.compress(bytes(out), 6))
+
+
+# ----------------------------------------------------------------- native ---
+
+
+def _decode_native(path) -> CptvClip | None:
+    lib = _load_native()
+    if lib is None:
+        return None
+    h = lib.cptv_open_file(str(path).encode())
+    try:
+        err = lib.cptv_error(h)
+        if err:
+            raise ValueError(f"CPTV decode failed: {err.decode()}")
+        n = lib.cptv_num_frames(h)
+        W = lib.cptv_width(h)
+        H = lib.cptv_height(h)
+        header = CptvHeader(
+            timestamp_us=lib.cptv_timestamp_us(h),
+            x_resolution=W,
+            y_resolution=H,
+            devicename=(lib.cptv_devicename(h) or b"").decode("utf-8", "replace"),
+            model=(lib.cptv_model(h) or b"").decode("utf-8", "replace"),
+            brand=(lib.cptv_brand(h) or b"").decode("utf-8", "replace"),
+            firmware=(lib.cptv_firmware(h) or b"").decode("utf-8", "replace"),
+            motion_config=(lib.cptv_motion_config(h) or b"").decode("utf-8", "replace"),
+            device_id=lib.cptv_device_id(h),
+            camera_serial=lib.cptv_camera_serial(h),
+            fps=lib.cptv_fps(h),
+            preview_secs=lib.cptv_preview_secs(h),
+            latitude=lib.cptv_latitude(h),
+            longitude=lib.cptv_longitude(h),
+            loc_timestamp_us=lib.cptv_loc_timestamp_us(h),
+            altitude=lib.cptv_altitude(h),
+            accuracy=lib.cptv_accuracy(h),
+            has_background=bool(lib.cptv_has_background(h)),
+        )
+        pixels = np.empty((n, H, W), np.uint16)
+        meta = np.empty((n, 5), np.uint32)
+        got = lib.cptv_read_all(
+            h,
+            pixels.ctypes.data_as(ctypes.c_void_p),
+            meta.ctypes.data_as(ctypes.c_void_p),
+        )
+        if got != n:
+            raise ValueError("CPTV read_all failed")
+        return CptvClip(header, pixels, meta)
+    finally:
+        lib.cptv_close(h)
+
+
+def load_cptv(path, backend: str | None = None) -> CptvClip:
+    """Decode a whole .cptv file. backend: None (auto), 'native', 'python'."""
+    backend = backend or os.environ.get("CPTPU_CPTV_BACKEND")
+    if backend == "python":
+        return _decode_py(path)
+    clip = _decode_native(path)
+    if clip is None:
+        if backend == "native":
+            raise RuntimeError("native cptv codec unavailable")
+        return _decode_py(path)
+    return clip
+
+
+class CptvReader:
+    """Frame-at-a-time compatibility shim over the eager decoder.
+
+    API shape mirrors the reference's Rust binding usage
+    (``CptvReader(path).get_header() / .next_frame()``;
+    reference src/track/cliptrackextractor.py:108-129).
+    """
+
+    def __init__(self, path, backend=None):
+        self._clip = load_cptv(path, backend=backend)
+        self._i = 0
+
+    def get_header(self) -> CptvHeader:
+        return self._clip.header
+
+    def next_frame(self) -> CptvFrame | None:
+        if self._i >= self._clip.n_frames:
+            return None
+        f = self._clip.frame(self._i)
+        self._i += 1
+        return f
+
+
+class CptvWriter:
+    """Streaming CPTV encoder (reference python-cptv CPTVWriter equivalent)."""
+
+    def __init__(self, path, header: CptvHeader):
+        self.path = Path(path)
+        self.header = header
+        self._lib = _load_native()
+        self._h = None
+        self._frames = []  # python fallback accumulates
+        self._metas = []
+        if self._lib is not None:
+            self._h = self._lib.cptv_writer_open(
+                str(path).encode(),
+                header.x_resolution,
+                header.y_resolution,
+                header.timestamp_us,
+                header.devicename.encode(),
+                header.model.encode(),
+                header.brand.encode(),
+                header.device_id,
+                header.fps,
+                header.preview_secs,
+                1 if header.has_background else 0,
+                header.latitude,
+                header.longitude,
+            )
+            err = self._lib.cptv_writer_error(self._h)
+            if err:
+                raise IOError(f"CPTV writer: {err.decode()}")
+
+    def write_frame(
+        self,
+        pix: np.ndarray,
+        time_on_ms: int = 0,
+        last_ffc_ms: int = 0,
+        temp_c: float = 0.0,
+        last_ffc_temp_c: float = 0.0,
+        is_background: bool = False,
+    ):
+        pix = np.ascontiguousarray(pix, np.uint16)
+        if self._h is not None:
+            rc = self._lib.cptv_writer_write_frame(
+                self._h,
+                pix.ctypes.data_as(ctypes.c_void_p),
+                time_on_ms,
+                last_ffc_ms,
+                temp_c,
+                last_ffc_temp_c,
+                1 if is_background else 0,
+            )
+            if rc != 0:
+                raise IOError("CPTV write_frame failed")
+        else:
+            self._frames.append(pix)
+            self._metas.append((time_on_ms, last_ffc_ms, is_background))
+
+    def close(self):
+        if self._h is not None:
+            self._lib.cptv_writer_close(self._h)
+            self._h = None
+        elif self._frames:
+            _encode_py(
+                self.path,
+                np.stack(self._frames),
+                self.header,
+                time_on_ms=[m[0] for m in self._metas],
+                last_ffc_ms=[m[1] for m in self._metas],
+                is_background=[m[2] for m in self._metas],
+            )
+            self._frames = []
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

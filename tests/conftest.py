@@ -1,0 +1,43 @@
+import os
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
+# exercised without TPU hardware (the driver separately dry-runs them).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import pathlib
+
+import pytest
+
+REFERENCE = pathlib.Path("/root/reference")
+CLIPS = REFERENCE / "tests" / "clips"
+
+
+@pytest.fixture(scope="session")
+def possum_cptv():
+    p = CLIPS / "possum.cptv"
+    if not p.exists():
+        pytest.skip("reference test clips not available")
+    return p
+
+
+@pytest.fixture(scope="session")
+def hedgehog_cptv():
+    p = CLIPS / "hedgehog.cptv"
+    if not p.exists():
+        pytest.skip("reference test clips not available")
+    return p
+
+
+@pytest.fixture(scope="session")
+def possum_meta():
+    p = CLIPS / "possum.txt"
+    if not p.exists():
+        pytest.skip("reference test clips not available")
+    import json
+
+    return json.loads(p.read_text())

@@ -1,0 +1,119 @@
+"""CPTV codec tests: native vs python backend agreement, round-trips, and
+sanity against the reference clips (the only binary fixtures the reference
+ships; reference tests/test_tracking_speed.py uses the same two)."""
+
+import numpy as np
+import pytest
+
+from classifier_pipeline_tpu.cptv import (
+    CptvHeader,
+    CptvReader,
+    CptvWriter,
+    load_cptv,
+)
+from classifier_pipeline_tpu.cptv.codec import _decode_py, _load_native
+
+
+def test_decode_possum_header(possum_cptv):
+    clip = load_cptv(possum_cptv)
+    h = clip.header
+    assert (h.x_resolution, h.y_resolution) == (160, 120)
+    assert h.model == "lepton3"
+    assert h.brand == "flir"
+    assert h.devicename == "ospri13"
+    assert h.fps == 9
+    assert h.has_background
+    assert clip.n_frames == 161
+    assert clip.is_background[0]
+    assert not clip.is_background[1:].any()
+
+
+def test_decode_pixel_sanity(possum_cptv, hedgehog_cptv):
+    for path in (possum_cptv, hedgehog_cptv):
+        clip = load_cptv(path)
+        pix = clip.pixels
+        # Lepton3 raw counts for these clips live in a narrow thermal band.
+        assert 1500 < pix.min() and pix.max() < 5000
+        # time_on must be monotonically nondecreasing over non-background frames.
+        t = clip.time_on_ms[~clip.is_background]
+        assert (np.diff(t.astype(np.int64)) >= 0).all()
+
+
+def test_native_matches_python(possum_cptv):
+    if _load_native() is None:
+        pytest.skip("native codec unavailable")
+    nat = load_cptv(possum_cptv, backend="native")
+    py = load_cptv(possum_cptv, backend="python")
+    assert nat.n_frames == py.n_frames
+    np.testing.assert_array_equal(nat.pixels, py.pixels)
+    np.testing.assert_array_equal(nat.time_on_ms, py.time_on_ms)
+    np.testing.assert_array_equal(nat.last_ffc_ms, py.last_ffc_ms)
+    assert nat.header == py.header
+
+
+@pytest.mark.parametrize("backend", ["native", "python"])
+def test_roundtrip(tmp_path, backend):
+    if backend == "native" and _load_native() is None:
+        pytest.skip("native codec unavailable")
+    rng = np.random.default_rng(0)
+    T, H, W = 7, 120, 160
+    base = rng.integers(2000, 4000, (H, W)).astype(np.uint16)
+    pixels = (
+        base[None].astype(np.int64)
+        + rng.integers(-40, 40, (T, H, W))
+    ).astype(np.uint16)
+    header = CptvHeader(
+        timestamp_us=1656632217813627,
+        x_resolution=W,
+        y_resolution=H,
+        devicename="testdev",
+        model="lepton3.5",
+        brand="flir",
+        fps=9,
+        has_background=True,
+    )
+    out = tmp_path / f"rt_{backend}.cptv"
+    if backend == "native":
+        w = CptvWriter(out, header)
+        assert w._h is not None
+        for i in range(T):
+            w.write_frame(
+                pixels[i], time_on_ms=1000 + i * 111, last_ffc_ms=500,
+                is_background=(i == 0),
+            )
+        w.close()
+    else:
+        from classifier_pipeline_tpu.cptv.codec import _encode_py
+
+        _encode_py(
+            out, pixels, header,
+            time_on_ms=[1000 + i * 111 for i in range(T)],
+            last_ffc_ms=[500] * T,
+            is_background=[i == 0 for i in range(T)],
+        )
+    for decode_backend in ["native", "python"]:
+        if decode_backend == "native" and _load_native() is None:
+            continue
+        clip = load_cptv(out, backend=decode_backend)
+        np.testing.assert_array_equal(clip.pixels, pixels)
+        assert clip.header.model == "lepton3.5"
+        assert clip.is_background[0]
+        assert clip.time_on_ms[1] == 1111
+
+
+def test_reader_shim(possum_cptv):
+    reader = CptvReader(possum_cptv)
+    header = reader.get_header()
+    assert header.x_resolution == 160
+    n = 0
+    first = None
+    while True:
+        f = reader.next_frame()
+        if f is None:
+            break
+        if first is None:
+            first = f
+        n += 1
+    assert n == 161
+    assert first.background_frame
+    assert first.pix.shape == (120, 160)
