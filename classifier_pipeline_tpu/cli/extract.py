@@ -1,0 +1,93 @@
+"""extract CLI — track extraction over CPTV files/directories.
+
+Reference entry point parity: src/extract.py (argv -> TrackExtractor.extract).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import multiprocessing
+import sys
+import time
+from pathlib import Path
+
+from classifier_pipeline_tpu.config.config import Config
+from classifier_pipeline_tpu.pipeline.extractor import (
+    ClipTrackExtractor,
+    save_metadata,
+)
+from classifier_pipeline_tpu.utils.logs import init_logging
+
+
+def process_one(args):
+    path, config_raw, out_dir, to_stdout = args
+    ex = ClipTrackExtractor(config=config_raw, keep_rows=False)
+    res = ex.extract(path)
+    if to_stdout:
+        print(json.dumps(res.metadata, default=str))
+    else:
+        out = None
+        if out_dir:
+            out = Path(out_dir) / (Path(path).stem + ".txt")
+            out.parent.mkdir(parents=True, exist_ok=True)
+        save_metadata(res, out)
+    return (
+        str(path),
+        len(res.tracks),
+        res.n_frames,
+        res.tracking_time,
+    )
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="TPU-native track extraction")
+    parser.add_argument("target", help="a CPTV file or directory")
+    parser.add_argument("-c", "--config-file", help="path to classifier.yaml")
+    parser.add_argument("-o", "--out-dir", help="output directory for .txt metadata")
+    parser.add_argument("--to-stdout", action="store_true", help="print JSON to stdout")
+    parser.add_argument("-v", "--verbose", action="store_true")
+    parser.add_argument(
+        "-w", "--workers", type=int, default=0,
+        help="worker processes for directory extraction (0 = in-process)",
+    )
+    parser.add_argument(
+        "--platform", choices=["tpu", "cpu", "default"], default="default",
+        help="force the JAX platform (default: environment's accelerator)",
+    )
+    args = parser.parse_args(argv)
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    init_logging()
+    config = Config.load_from_file(args.config_file)
+
+    target = Path(args.target)
+    if target.is_dir():
+        files = sorted(target.rglob("*.cptv"))
+    else:
+        files = [target]
+    if not files:
+        logging.error("no cptv files under %s", target)
+        return 1
+
+    start = time.time()
+    jobs = [(str(f), config.raw, args.out_dir, args.to_stdout) for f in files]
+    if args.workers and len(files) > 1:
+        with multiprocessing.Pool(args.workers) as pool:
+            results = pool.map(process_one, jobs)
+    else:
+        results = [process_one(j) for j in jobs]
+    total_frames = sum(r[2] for r in results)
+    elapsed = time.time() - start
+    logging.info(
+        "extracted %d clips, %d frames in %.1fs (%.1f frames/s)",
+        len(results), total_frames, elapsed, total_frames / max(elapsed, 1e-9),
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

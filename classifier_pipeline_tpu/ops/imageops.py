@@ -1,0 +1,294 @@
+"""Core image ops for the tracking hot path, as pure JAX (XLA-fusable).
+
+These replace the OpenCV calls in the reference's per-frame loop
+(reference src/ml_tools/imageprocessing.py:240-248, src/track/cliptracker.py:93-122)
+with semantics matched bit-for-bit where the reference's behavior is integral
+(blur, threshold, morphology, connected components) and numerically matched
+where it is not (NL-means denoise).
+
+Conventions worth knowing, all verified against OpenCV:
+  * GaussianBlur (5,5) sigma=0 on uint8 uses the fixed [1,4,6,4,1]/16 kernel
+    with REFLECT_101 borders and fixed-point rounding ((acc + 128) >> 8).
+  * cv2.threshold on uint8 floors a float threshold.
+  * The reference passes the *tuple* (5,5) as the morphology kernel
+    (src/ml_tools/imageprocessing.py:247): OpenCV interprets that as a 2x1
+    column Mat, so the "closing" is a 2-pixel vertical close, not 5x5.
+  * connectedComponentsWithStats uses 8-connectivity and assigns labels in
+    raster order of each component's first pixel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_BLUR_K = np.array([1, 4, 6, 4, 1], np.int32)
+
+
+def _reflect101_pad(x, pad, axis):
+    """REFLECT_101 (cv2 default) padding: gfedcb|abcdefgh|gfedcba."""
+    idx_front = [pad - i for i in range(pad)]  # pad..1
+    idx_back = [-2 - i for i in range(pad)]  # -2..-(pad+1)
+    front = jnp.flip(jnp.take(x, jnp.array(idx_front[::-1]), axis=axis), axis=axis)
+    back = jnp.take(x, jnp.array([i % x.shape[axis] for i in idx_back]), axis=axis)
+    return jnp.concatenate([front, x, back], axis=axis)
+
+
+def gaussian_blur5_u8(img: jax.Array) -> jax.Array:
+    """cv2.GaussianBlur(u8, (5,5), 0) bit-exact. img int32 0..255 -> int32."""
+    x = img.astype(jnp.int32)
+    x = _reflect101_pad(x, 2, axis=1)
+    h = sum(x[:, i : i + img.shape[1]] * int(_BLUR_K[i]) for i in range(5))
+    h = _reflect101_pad(h, 2, axis=0)
+    v = sum(h[i : i + img.shape[0], :] * int(_BLUR_K[i]) for i in range(5))
+    return (v + 128) >> 8
+
+
+def gaussian_blur5_f32(img: jax.Array) -> jax.Array:
+    """cv2.GaussianBlur(float32, (5,5), 0): float path, no rounding."""
+    k = (_BLUR_K / 16.0).astype(np.float32)
+    x = img.astype(jnp.float32)
+    x = _reflect101_pad(x, 2, axis=1)
+    h = sum(x[:, i : i + img.shape[1]] * float(k[i]) for i in range(5))
+    h = _reflect101_pad(h, 2, axis=0)
+    return sum(h[i : i + img.shape[0], :] * float(k[i]) for i in range(5))
+
+
+def threshold_binary_u8(img: jax.Array, thresh: jax.Array) -> jax.Array:
+    """cv2.threshold(u8, t, 255, THRESH_BINARY): floors float threshold."""
+    return jnp.where(img > jnp.floor(thresh), 255, 0).astype(jnp.int32)
+
+
+def close_2x1(mask: jax.Array) -> jax.Array:
+    """cv2.morphologyEx(x, MORPH_CLOSE, (5,5)) — the tuple quirk: 2x1 kernel.
+
+    dilate: out[y] = max(in[y], in[y-1]); erode likewise with min; borders are
+    identity (morphology border value is the op's neutral element).
+    """
+    x = mask
+    up = jnp.concatenate([x[:1], x[:-1]], axis=0)
+    d = jnp.maximum(x, up)
+    d_up = jnp.concatenate([d[:1], d[:-1]], axis=0)
+    return jnp.minimum(d, d_up)
+
+
+def normalize_minmax(data: jax.Array, new_max: float = 255.0):
+    """reference imageprocessing.normalize: scale min..max -> 0..new_max.
+
+    Returns (normed f32, mn, mx, success). Degenerate max==min handled like the
+    reference (all-zero if max==0, data/max otherwise).
+    """
+    mx = jnp.max(data)
+    mn = jnp.min(data)
+    flat_zero = (mx == mn) & (mx == 0)
+    flat = mx == mn
+    denom = jnp.where(flat, 1.0, mx - mn)
+    normed = new_max * (data.astype(jnp.float32) - mn) / denom
+    normed = jnp.where(flat, jnp.where(flat_zero, 0.0, data.astype(jnp.float32) / jnp.where(mx == 0, 1.0, mx)), normed)
+    return normed, mn, mx, ~flat_zero
+
+
+def nl_means_denoise_u8(
+    img: jax.Array, h: float = 3.0, template: int = 7, search: int = 21
+) -> jax.Array:
+    """cv2.fastNlMeansDenoising(u8, h=3) numerical match (<~1.5 gray levels).
+
+    Classic NL-means: per-pixel weighted average over a (search x search)
+    window, weight exp(-mean_patch_sq_dist / h^2) over (template x template)
+    patches. Implemented as a batched shift + box-filter so XLA lowers it to
+    a handful of fused elementwise ops + reductions (no gather).
+    """
+    H, W = img.shape
+    hs, ts = search // 2, template // 2
+    p = hs + ts
+    x = img.astype(jnp.float32)
+    # cv2 pads with BORDER_DEFAULT = REFLECT_101 == numpy 'reflect'
+    xpad = jnp.pad(x, p, mode="reflect")
+    Hp, Wp = H + 2 * ts, W + 2 * ts
+    base = xpad[hs : hs + Hp, hs : hs + Wp]
+
+    inv_h2 = 1.0 / (h * h)
+    patch_area = float(template * template)
+
+    # All search offsets at once: (S*S, Hp, Wp) shifted views. XLA turns the
+    # static strided slices into one big fused elementwise computation — on
+    # TPU this is VPU-bound with zero gathers; the box filter is a separable
+    # running-sum over the batch.
+    shifted = jnp.stack(
+        [
+            jax.lax.slice(xpad, (dy, dx), (dy + Hp, dx + Wp))
+            for dy in range(search)
+            for dx in range(search)
+        ]
+    )
+    d2 = (shifted - base[None]) ** 2
+    c = jnp.cumsum(d2, axis=1)
+    c = jnp.concatenate(
+        [c[:, 2 * ts : 2 * ts + 1], c[:, 2 * ts + 1 :] - c[:, : -2 * ts - 1]], axis=1
+    )
+    c = jnp.cumsum(c, axis=2)
+    c = jnp.concatenate(
+        [c[:, :, 2 * ts : 2 * ts + 1], c[:, :, 2 * ts + 1 :] - c[:, :, : -2 * ts - 1]],
+        axis=2,
+    )
+    w = jnp.exp(c * (-inv_h2 / patch_area))
+    centers = shifted[:, ts : ts + H, ts : ts + W]
+    num = jnp.sum(w * centers, axis=0)
+    den = jnp.sum(w, axis=0)
+    out = num / den
+    return jnp.clip(out + 0.5, 0, 255).astype(jnp.int32)  # round-half-up like cv2
+
+
+class ComponentStats(NamedTuple):
+    """cv2.connectedComponentsWithStats equivalent, fixed K slots.
+
+    Slot 0 is implicitly the background (not stored). ``valid`` marks live
+    component slots; components appear in raster order of their first pixel
+    (cv2's label order). ``overflow`` counts components beyond max_components.
+    """
+
+    x: jax.Array  # (K,) i32
+    y: jax.Array
+    w: jax.Array
+    h: jax.Array
+    area: jax.Array  # pixel count == region mass
+    cx: jax.Array  # (K,) f32 centroid
+    cy: jax.Array
+    valid: jax.Array  # (K,) bool
+    overflow: jax.Array  # scalar i32
+
+
+def _masked_neighbor_min(lab, big):
+    """One step of 8-neighbour label-min propagation."""
+    p = jnp.pad(lab, 1, constant_values=big)
+    m = lab
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            m = jnp.minimum(m, p[1 + dy : 1 + dy + lab.shape[0], 1 + dx : 1 + dx + lab.shape[1]])
+    return m
+
+
+def _segmented_min_scan(values, is_bg, axis, reverse):
+    """Min-scan along axis that resets at background pixels (run propagation)."""
+
+    def combine(a, b):
+        av, ar = a
+        bv, br = b
+        return jnp.where(br, bv, jnp.minimum(av, bv)), ar | br
+
+    v, _ = jax.lax.associative_scan(
+        combine, (values, is_bg), axis=axis, reverse=reverse
+    )
+    return v
+
+
+def connected_components_stats(
+    mask: jax.Array, max_components: int = 16
+) -> ComponentStats:
+    """8-connected component labeling + per-component stats.
+
+    Labels are seeded with the pixel raster index and iteratively min-reduced:
+    one 8-neighbour relaxation step plus four directional run-propagations per
+    round, looped to fixed point (exact for any shape). Component order equals
+    cv2's (raster order of first pixel, which is exactly the component's
+    minimum label).
+    """
+    H, W = mask.shape
+    fg = mask > 0
+    BIG = jnp.int32(H * W)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W + jax.lax.broadcasted_iota(
+        jnp.int32, (H, W), 1
+    )
+    lab0 = jnp.where(fg, iota, BIG)
+    bg = ~fg
+
+    def relax(lab):
+        m = jnp.where(fg, _masked_neighbor_min(lab, BIG), BIG)
+        m = jnp.minimum(m, lab)
+        m = jnp.where(fg, m, BIG)
+        m = _segmented_min_scan(m, bg, axis=1, reverse=False)
+        m = _segmented_min_scan(m, bg, axis=1, reverse=True)
+        m = _segmented_min_scan(m, bg, axis=0, reverse=False)
+        m = _segmented_min_scan(m, bg, axis=0, reverse=True)
+        return jnp.where(fg, m, BIG)
+
+    def cond(state):
+        lab, prev_lab, it = state
+        return (it < H * W) & jnp.any(lab != prev_lab)
+
+    def body(state):
+        lab, _, it = state
+        return relax(lab), lab, it + 1
+
+    lab1 = relax(lab0)
+    lab, _, _ = jax.lax.while_loop(cond, body, (lab1, lab0, jnp.int32(0)))
+
+    # Representative labels = min pixel index per component. Collect the first
+    # K in ascending label order via a scatter-min histogram trick: mark which
+    # labels exist, then top-k of negated.
+    K = max_components
+    flat = lab.reshape(-1)
+    present = jnp.zeros((H * W + 1,), jnp.bool_).at[flat].set(True)
+    present = present[:-1]  # drop BIG bucket
+    n_components = jnp.sum(present.astype(jnp.int32))
+    overflow = jnp.maximum(n_components - K, 0)
+    # first K present label values, ascending
+    order_val = jnp.where(present, jnp.arange(H * W, dtype=jnp.int32), BIG)
+    sel = jax.lax.top_k(-order_val, K)[0] * -1  # K smallest, ascending
+    valid = sel < BIG
+
+    # per-component stats via masked reductions (K x H x W)
+    eq = lab[None] == jnp.where(valid, sel, -1)[:, None, None]
+    xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)[None]
+    ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)[None]
+    big32 = jnp.int32(1 << 30)
+    x0 = jnp.min(jnp.where(eq, xs, big32), axis=(1, 2))
+    x1 = jnp.max(jnp.where(eq, xs, -1), axis=(1, 2))
+    y0 = jnp.min(jnp.where(eq, ys, big32), axis=(1, 2))
+    y1 = jnp.max(jnp.where(eq, ys, -1), axis=(1, 2))
+    area = jnp.sum(eq, axis=(1, 2), dtype=jnp.int32)
+    denom = jnp.maximum(area, 1).astype(jnp.float32)
+    cx = jnp.sum(jnp.where(eq, xs, 0), axis=(1, 2)).astype(jnp.float32) / denom
+    cy = jnp.sum(jnp.where(eq, ys, 0), axis=(1, 2)).astype(jnp.float32) / denom
+    return ComponentStats(
+        x=jnp.where(valid, x0, 0),
+        y=jnp.where(valid, y0, 0),
+        w=jnp.where(valid, x1 - x0 + 1, 0),
+        h=jnp.where(valid, y1 - y0 + 1, 0),
+        area=jnp.where(valid, area, 0),
+        cx=jnp.where(valid, cx, 0.0),
+        cy=jnp.where(valid, cy, 0.0),
+        valid=valid,
+        overflow=overflow,
+    )
+
+
+def detect_objects(
+    filtered_u8: jax.Array, threshold: jax.Array, max_components: int = 16
+) -> tuple[jax.Array, ComponentStats]:
+    """reference detect_objects (src/ml_tools/imageprocessing.py:240): u8 ->
+    GaussianBlur(5,5) -> threshold -> close(2x1 tuple-quirk) -> CCL w/ stats.
+
+    Returns (binary mask, ComponentStats).
+    """
+    blurred = gaussian_blur5_u8(filtered_u8)
+    th = threshold_binary_u8(blurred, threshold)
+    closed = close_2x1(th)
+    return closed, connected_components_stats(closed, max_components)
+
+
+def calculate_mass(filtered_f32: jax.Array, threshold: jax.Array) -> jax.Array:
+    """reference region.calculate_mass: float blur then count(> threshold).
+
+    (reference src/track/region.py:234-255: blur, zero below threshold, count
+    positive survivors.)
+    """
+    th = gaussian_blur5_f32(filtered_f32)
+    keep = (th - threshold) >= 0
+    return jnp.sum(keep & (th > 0), dtype=jnp.int32)

@@ -1,0 +1,183 @@
+"""Clip track extraction pipeline: CPTV decode -> device tracking scan ->
+host track assembly -> metadata JSON.
+
+Equivalent of the reference's ClipTrackExtractor.parse_clip + trackextractor
+metadata writing (reference src/track/cliptrackextractor.py:141-179,
+src/track/trackextractor.py:205-251), re-architected so the per-frame work is
+one jitted ``lax.scan`` over the whole clip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import datetime
+import json
+import logging
+import time
+from pathlib import Path
+from zoneinfo import ZoneInfo
+
+import jax
+import numpy as np
+
+from classifier_pipeline_tpu.cptv import load_cptv
+from classifier_pipeline_tpu.track import postprocess, tracker_jax
+from classifier_pipeline_tpu.track.tracker_jax import TrackingParams
+
+TRACKER_VERSION = 11
+LOCAL_TZ = ZoneInfo("Pacific/Auckland")
+
+# per-camera-model thresholds (reference src/config/trackingmotionconfig.py)
+CAMERA_THRESHOLDS = {
+    "lepton3": dict(temp_thresh=2900, background_thresh=20, default=True,
+                    track_min_delta=1.0, track_max_delta=150),
+    "lepton3.5": dict(temp_thresh=28000, background_thresh=50, default=False,
+                      track_min_delta=1.0, track_max_delta=150),
+    "IR": dict(temp_thresh=None, background_thresh=12, default=False,
+               track_min_delta=1.0, track_max_delta=150),
+}
+
+FFC_PERIOD_MS_QUIRK = 9  # reference int-milliseconds branch: diff_ms < 9
+
+
+def threshold_for_model(camera_model):
+    t = CAMERA_THRESHOLDS.get(camera_model)
+    if t is None:
+        for v in CAMERA_THRESHOLDS.values():
+            if v.get("default"):
+                return v
+    return t
+
+
+@dataclasses.dataclass
+class ExtractResult:
+    metadata: dict
+    tracks: list
+    filtered_tracks: list
+    n_frames: int
+    tracking_time: float
+    rows: object = None  # stacked FrameRows (for classification reuse)
+    clip: object = None  # CptvClip
+    background: np.ndarray | None = None
+
+
+class ClipTrackExtractor:
+    """Batch thermal track extractor (TPU-native)."""
+
+    VERSION = TRACKER_VERSION
+    TYPE = "thermal"
+
+    def __init__(self, config=None, verbose=False, keep_rows=True):
+        self.config = config or {}
+        self.verbose = verbose
+        self.keep_rows = keep_rows
+        self._clip_id = 0
+
+    def params_for(self, camera_model) -> TrackingParams:
+        th = threshold_for_model(camera_model)
+        tracking = self.config.get("tracking", {}).get("thermal", {}) if self.config else {}
+        weight_add = 1.0 if camera_model == "lepton3.5" else 0.1
+        return TrackingParams(
+            background_thresh=float(th["background_thresh"]),
+            weight_add=weight_add,
+            denoise=tracking.get("denoise", True),
+            max_track_slots=tracking.get("max_track_slots", 24),
+            max_region_slots=tracking.get("max_region_slots", 16),
+        )
+
+    def extract(self, path, process_background=False) -> ExtractResult:
+        start = time.time()
+        path = Path(path)
+        clip = load_cptv(path)
+        self._clip_id += 1
+        header = clip.header
+        camera_model = header.model or None
+        params = self.params_for(camera_model)
+        th = threshold_for_model(camera_model)
+
+        pixels = clip.pixels
+        is_bg = clip.is_background
+        # frames processed by the tracker (reference skips the embedded
+        # background frame unless process_background)
+        if not process_background:
+            proc_mask = ~is_bg
+        else:
+            proc_mask = np.ones(clip.n_frames, bool)
+        thermal = pixels[proc_mask]
+        time_on = clip.time_on_ms[proc_mask].astype(np.int64)
+        last_ffc = clip.last_ffc_ms[proc_mask].astype(np.int64)
+        ffc = (time_on - last_ffc) < FFC_PERIOD_MS_QUIRK
+
+        background = pixels[0]  # reference init uses the reader's first frame
+        rows, carry = tracker_jax.track_clip(thermal, ffc, params, background)
+        # one batched device->host fetch (the TPU may be behind a network
+        # tunnel; per-leaf lazy transfers are expensive)
+        rows = jax.device_get(rows)
+        carry = jax.device_get(carry)
+
+        tracks = postprocess.assemble_tracks(rows, fps=float(header.fps or 9))
+        filter_cfg = dict(
+            track_min_delta=th["track_min_delta"],
+            track_max_delta=th["track_max_delta"],
+        )
+        filter_cfg.update(self.config.get("filters", {}))
+        good, filtered = postprocess.filter_tracks(tracks, params, filter_cfg)
+
+        meta = self.build_metadata(
+            path, clip, camera_model, th, good, thermal.shape[0]
+        )
+        tracking_time = time.time() - start
+        meta["source"] = str(path)
+        meta["tracking_time"] = round(tracking_time, 1)
+        meta["algorithm"] = {
+            "tracker_version": TRACKER_VERSION,
+            "tracker_config": dataclasses.asdict(params),
+        }
+        return ExtractResult(
+            metadata=meta,
+            tracks=good,
+            filtered_tracks=filtered,
+            n_frames=int(thermal.shape[0]),
+            tracking_time=tracking_time,
+            rows=rows if self.keep_rows else None,
+            clip=clip,
+            background=np.asarray(carry.background),
+        )
+
+    def build_metadata(self, path, clip, camera_model, th, tracks, n_frames):
+        header = clip.header
+        meta = {}
+        if camera_model:
+            meta["camera_model"] = camera_model
+        meta["background_thresh"] = th["background_thresh"]
+        meta["id"] = self._clip_id
+        start_dt = datetime.datetime.fromtimestamp(
+            header.timestamp_us / 1_000_000, tz=datetime.timezone.utc
+        ).astimezone(LOCAL_TZ)
+        fps = float(header.fps or 9)
+        end_dt = start_dt + datetime.timedelta(seconds=n_frames / fps)
+        meta["start_time"] = start_dt.isoformat()
+        meta["end_time"] = end_dt.isoformat()
+        meta["tracks"] = [t.get_metadata(TRACKER_VERSION) for t in tracks]
+        return meta
+
+
+def extract_file(path, config=None, verbose=False) -> ExtractResult:
+    return ClipTrackExtractor(config=config, verbose=verbose).extract(path)
+
+
+def save_metadata(result: ExtractResult, out_path=None):
+    out = Path(out_path) if out_path else Path(result.metadata["source"]).with_suffix(".txt")
+    with open(out, "w") as f:
+        json.dump(result.metadata, f, indent=4, default=_json_default)
+    return out
+
+
+def _json_default(o):
+    if isinstance(o, (np.integer,)):
+        return int(o)
+    if isinstance(o, (np.floating,)):
+        return float(o)
+    if isinstance(o, np.ndarray):
+        return o.tolist()
+    raise TypeError(f"not JSON serializable: {type(o)}")

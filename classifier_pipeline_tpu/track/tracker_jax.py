@@ -1,0 +1,756 @@
+"""Whole-clip thermal tracker as a single JAX program.
+
+The reference tracks with a per-frame Python loop over OpenCV calls
+(reference src/track/cliptrackextractor.py:155-247, src/track/cliptracker.py,
+src/track/track.py RegionTracker). Here the entire clip is one
+``lax.scan`` over frames; the carry holds the background model and a
+fixed-slot track table, and every per-frame stage (filtering, NL-means
+denoise, blur/threshold/morphology, connected components, greedy
+track-region matching, Kalman updates) is fixed-shape device code. Host
+code only decodes CPTV and assembles JSON from the scan's per-frame rows.
+
+Algorithmic parity notes (all verified against the reference's behavior):
+  * WeightedBackground per-pixel min-descent with growing weight
+    (reference src/piclassifier/motiondetector.py:178-248), updated with the
+    trailing-45-frame mean (cliptrackextractor.py:170-176). The mean is
+    precomputed host-side in float64 and truncated to int32 exactly as
+    ``np.int32(np.mean(...))`` does.
+  * The background average and avg_change use Python ``int(round(.))``
+    banker's rounding; we reproduce it with exact int32 arithmetic.
+  * FFC detection follows the reference's integer-milliseconds branch
+    (time_on_ms - last_ffc_ms < 9; cptvmotiondetector.py:211-223).
+  * Greedy matching orders candidates by (score, frames_since_target_seen +
+    float("0.<id>")) exactly like cliptracker.py:147-151, including the
+    decimal-string tie-break quirk.
+  * cv2.KalmanFilter(4,2) semantics with zero-initialized covariance: the
+    first correct() is a no-op and state converges slowly from the origin —
+    reproduced, since MIN_KALMAN_FRAMES gating depends on it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from classifier_pipeline_tpu.ops import imageops as ops
+
+
+@dataclasses.dataclass(frozen=True)
+class TrackingParams:
+    """Static tracking configuration (reference src/config/trackingconfig.py
+    thermal defaults)."""
+
+    res_x: int = 160
+    res_y: int = 120
+    edge_pixels: int = 1
+    frame_padding: int = 4  # max(3, config 4)
+    min_dimension: int = 0
+    denoise: bool = True
+    background_thresh: float = 20.0
+    aoi_min_mass: float = 4.0
+    aoi_pixel_variance: float = 2.0
+    cropped_regions_strategy: str = "cautious"
+    filter_regions_pre_match: bool = True
+    fps: float = 9.0
+    # RegionTracker params (thermal)
+    base_distance_change: float = 450.0
+    min_mass_change: float = 20.0
+    restrict_mass_after: float = 1.5
+    mass_change_percent: float = 0.55
+    max_distance: float = 2000.0
+    max_blanks: int = 18
+    velocity_multiplier: float = 2.0
+    base_velocity: float = 2.0
+    min_kalman_frames: int = 18
+    # capacity
+    max_region_slots: int = 16
+    max_track_slots: int = 24
+    weight_add: float = 0.1  # 1.0 for lepton3.5
+
+    @property
+    def crop(self):
+        e = self.edge_pixels
+        # Rectangle(e, e, res_x - 2e, res_y - 2e): x, y, width, height
+        return (e, e, self.res_x - 2 * e, self.res_y - 2 * e)
+
+
+class TrackSlots(NamedTuple):
+    active: jax.Array  # (K,) bool
+    used: jax.Array  # (K,) bool — ever allocated
+    track_id: jax.Array  # (K,) i32
+    start_frame: jax.Array  # (K,) i32
+    frames: jax.Array  # (K,) i32 == len(bounds_history)
+    blank_frames: jax.Array  # (K,) i32
+    fsts: jax.Array  # (K,) i32 frames_since_target_seen
+    kal_x: jax.Array  # (K, 4) f32 kalman statePost
+    kal_p: jax.Array  # (K, 4, 4) f32 kalman errorCovPost
+    pred_mid: jax.Array  # (K, 2) f32 predicted_mid
+    last_x: jax.Array  # (K,) i32
+    last_y: jax.Array
+    last_w: jax.Array
+    last_h: jax.Array
+    last_mass: jax.Array
+    last_cent: jax.Array  # (K, 2) f32
+    last_blank: jax.Array  # (K,) bool
+    last_border: jax.Array  # (K,) bool
+    vel: jax.Array  # (K, 2) f32 latest velocity entry
+    mass_ring: jax.Array  # (K, 5) f32 last <=5 non-blank masses
+    area_ring: jax.Array  # (K, 5) f32
+    ring_n: jax.Array  # (K,) i32 count (<=5)
+    ring_pos: jax.Array  # (K,) i32 next write index
+
+
+class Carry(NamedTuple):
+    background: jax.Array  # (H, W) f32 (integer-valued)
+    weight: jax.Array  # (H, W) f32 (interior meaningful)
+    avg_num: jax.Array  # i32 — background average as rational num/den
+    avg_den: jax.Array  # i32
+    prev_filtered: jax.Array  # (H, W) f32
+    has_prev: jax.Array  # bool
+    slots: TrackSlots
+    next_id: jax.Array  # i32
+    frame_idx: jax.Array  # i32 clip.current_frame
+
+
+class FrameRows(NamedTuple):
+    """Per-frame emissions: one row per track slot + the frame's regions."""
+
+    emitted: jax.Array  # (K,) bool — row appended to this track's history
+    blank: jax.Array  # (K,) bool
+    x: jax.Array  # (K,) i32
+    y: jax.Array
+    w: jax.Array
+    h: jax.Array
+    mass: jax.Array  # (K,) i32
+    cent: jax.Array  # (K, 2) f32
+    variance: jax.Array  # (K,) f32
+    border: jax.Array  # (K,) bool
+    # region history (for thumbnails / diagnostics)
+    reg_valid: jax.Array  # (R,) bool
+    reg_x: jax.Array  # (R,) i32
+    reg_y: jax.Array
+    reg_w: jax.Array
+    reg_h: jax.Array
+    reg_mass: jax.Array
+    reg_variance: jax.Array  # (R,) f32
+    threshold: jax.Array  # f32 mapped threshold
+    overflow: jax.Array  # i32 dropped CCL components
+
+
+def _round_half_even_div(d: jax.Array, n) -> jax.Array:
+    """Python round(d/n) for int32 d, positive int n — exact banker's."""
+    d = d.astype(jnp.int32)
+    n = jnp.int32(n)
+    q = jnp.floor_divide(d, n)
+    r = d - q * n
+    two_r = 2 * r
+    up = (two_r > n) | ((two_r == n) & (q % 2 != 0))
+    return q + up.astype(jnp.int32)
+
+
+def _kalman_predict(x, p):
+    """cv2 predict: statePre = F x; P = F P F' + Q; post := pre."""
+    # F = [[1,0,1,0],[0,1,0,1],[0,0,1,0],[0,0,0,1]], Q = 0.03 I
+    nx = jnp.stack([x[0] + x[2], x[1] + x[3], x[2], x[3]])
+    F = jnp.array(
+        [[1, 0, 1, 0], [0, 1, 0, 1], [0, 0, 1, 0], [0, 0, 0, 1]], jnp.float32
+    )
+    np_ = F @ p @ F.T + 0.03 * jnp.eye(4, dtype=jnp.float32)
+    return nx, np_
+
+
+def _kalman_correct(x, p, z):
+    """cv2 correct with H = eye(2,4), R = I."""
+    # S = P[:2,:2] + I; K = P[:, :2] S^-1
+    S = p[:2, :2] + jnp.eye(2, dtype=jnp.float32)
+    PHt = p[:, :2]
+    Kt = jnp.linalg.solve(S, PHt.T)  # (2,4)
+    K = Kt.T  # (4,2)
+    innov = z - x[:2]
+    nx = x + K @ innov
+    np_ = p - K @ p[:2, :]
+    return nx, np_
+
+
+def _empty_slots(K: int) -> TrackSlots:
+    f = jnp.zeros((K,), jnp.float32)
+    i = jnp.zeros((K,), jnp.int32)
+    b = jnp.zeros((K,), jnp.bool_)
+    return TrackSlots(
+        active=b, used=b, track_id=i, start_frame=i, frames=i, blank_frames=i,
+        fsts=i, kal_x=jnp.zeros((K, 4), jnp.float32),
+        kal_p=jnp.zeros((K, 4, 4), jnp.float32),
+        pred_mid=jnp.zeros((K, 2), jnp.float32),
+        last_x=i, last_y=i, last_w=i, last_h=i, last_mass=i,
+        last_cent=jnp.zeros((K, 2), jnp.float32), last_blank=b, last_border=b,
+        vel=jnp.zeros((K, 2), jnp.float32),
+        mass_ring=jnp.zeros((K, 5), jnp.float32),
+        area_ring=jnp.zeros((K, 5), jnp.float32), ring_n=i, ring_pos=i,
+    )
+
+
+def _ring_mean(ring, n):
+    """Mean of the n (<=5) most recent entries; 0 if none."""
+    idx = jax.lax.broadcasted_iota(jnp.int32, ring.shape, 1)
+    m = idx < n[:, None]
+    s = jnp.sum(jnp.where(m, ring, 0.0), axis=1)
+    return jnp.where(n > 0, s / jnp.maximum(n, 1).astype(jnp.float32), 0.0)
+
+
+def make_scan_step(p: TrackingParams):
+    H, W = p.res_y, p.res_x
+    cx0, cy0, cw, ch = p.crop
+    # crop rectangle edges: left=cx0, top=cy0, right=cx0+cw, bottom=cy0+ch
+    cr_r, cr_b = cx0 + cw, cy0 + ch
+    extra_edge = math.ceil(cw * 0.03)
+    KR = p.max_region_slots
+    KT = p.max_track_slots
+    interior = np.zeros((H, W), np.float32)
+    interior[cy0 : cy0 + ch, cx0 : cx0 + cw] = 1.0
+    interior_n = int(interior.sum())
+    interior_mask = jnp.asarray(interior)
+
+    def replicate_edges(bg):
+        """reference WeightedBackground.set_background_edges: copy interior
+        edge rows/cols outward."""
+        e = p.edge_pixels
+        for k in range(e):
+            bg = bg.at[k].set(bg[e])
+            bg = bg.at[H - 1 - k].set(bg[H - 1 - e])
+        for k in range(e):
+            bg = bg.at[:, k].set(bg[:, e])
+            bg = bg.at[:, W - 1 - k].set(bg[:, W - 1 - e])
+        return bg
+
+    def normalize255(f):
+        mx = jnp.max(f)
+        mn = jnp.min(f)
+        flat = mx == mn
+        flat_zero = flat & (mx == 0)
+        denom = jnp.where(flat, 1.0, mx - mn)
+        out = 255.0 * (f - mn) / denom
+        out = jnp.where(
+            flat,
+            jnp.where(flat_zero, 0.0, f / jnp.where(mx == 0.0, 1.0, mx)),
+            out,
+        )
+        return out, mn, mx
+
+    def bbox_var(delta, x0, y0, w, h, valid):
+        """np.var of delta[y0:y0+h, x0:x0+w] for each region slot."""
+        xs = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)[None]
+        ys = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)[None]
+        inb = (
+            (xs >= x0[:, None, None]) & (xs < (x0 + w)[:, None, None])
+            & (ys >= y0[:, None, None]) & (ys < (y0 + h)[:, None, None])
+            & valid[:, None, None]
+        )
+        n = jnp.maximum(jnp.sum(inb, axis=(1, 2)), 1).astype(jnp.float32)
+        s = jnp.sum(jnp.where(inb, delta[None], 0.0), axis=(1, 2))
+        mean = s / n
+        s2 = jnp.sum(jnp.where(inb, (delta[None] - mean[:, None, None]) ** 2, 0.0), axis=(1, 2))
+        return s2 / n
+
+    def step(carry: Carry, inputs):
+        thermal_u16, mean45_int, ffc = inputs  # (H,W) i32, (H,W) f32(int), bool
+        thermal = thermal_u16.astype(jnp.float32)
+        bg = carry.background
+        frame_idx = carry.frame_idx + 1
+
+        # ---- filtered (stored channel) -------------------------------------
+        filtered_raw = thermal - bg
+
+        # ---- avg_change: int(round(mean(thermal) - bg_average)) ------------
+        s_thermal = jnp.sum(thermal_u16, dtype=jnp.int32)
+        n_pix = H * W
+        avg_q = jnp.floor_divide(carry.avg_num, carry.avg_den)
+        avg_r = carry.avg_num - avg_q * carry.avg_den
+        d = s_thermal - avg_q * n_pix
+        exact_int_avg = carry.avg_den == 1
+        ac_exact = _round_half_even_div(d, n_pix)
+        frac = avg_r.astype(jnp.float32) / carry.avg_den.astype(jnp.float32)
+        ac_float = jnp.round(
+            s_thermal.astype(jnp.float32) / n_pix
+            - (avg_q.astype(jnp.float32) + frac)
+        ).astype(jnp.int32)
+        avg_change = jnp.where(exact_int_avg, ac_exact, ac_float)
+
+        # ---- object-filtered frame + mapped threshold ----------------------
+        x = jnp.clip(thermal - bg - avg_change.astype(jnp.float32), 0.0, None)
+        normed, mn, mx = normalize255(x)
+        u8 = normed.astype(jnp.int32)  # np.uint8 cast truncation
+        if p.denoise:
+            obj = ops.nl_means_denoise_u8(u8)
+        else:
+            obj = u8
+        mapped_thresh = jnp.where(
+            mx == mn,
+            jnp.float32(p.background_thresh),
+            jnp.float32(p.background_thresh) / (mx - mn) * 255.0,
+        )
+
+        # ---- detect objects -------------------------------------------------
+        _, comps = ops.detect_objects(obj, mapped_thresh, KR)
+
+        # ---- delta frame for pixel variance --------------------------------
+        cur_norm, _, _ = normalize255(filtered_raw)
+        prev_norm, _, _ = normalize255(carry.prev_filtered)
+        delta_filtered = jnp.abs(cur_norm - prev_norm)
+
+        # ---- region build ---------------------------------------------------
+        rv = comps.valid
+        rx, ry, rw, rh = comps.x, comps.y, comps.w, comps.h
+        rmass = comps.area
+        rcx, rcy = comps.cx, comps.cy
+        if p.min_dimension > 0:
+            rv = rv & (rw >= p.min_dimension) & (rh >= p.min_dimension)
+        variance = jnp.where(
+            carry.has_prev, bbox_var(delta_filtered, rx, ry, rw, rh, rv), 0.0
+        )
+        # crop to crop rectangle
+        nl = jnp.clip(rx, cx0, cr_r)
+        nt = jnp.clip(ry, cy0, cr_b)
+        nr = jnp.clip(rx + rw, cx0, cr_r)
+        nb = jnp.clip(ry + rh, cy0, cr_b)
+        was_cropped = (nl != rx) | (nt != ry) | (nr != rx + rw) | (nb != ry + rh)
+        nw, nh = nr - nl, nb - nt
+        if p.cropped_regions_strategy == "cautious":
+            cwf = (rw - nw).astype(jnp.float32) / jnp.maximum(rw, 1).astype(jnp.float32)
+            chf = (rh - nh).astype(jnp.float32) / jnp.maximum(rh, 1).astype(jnp.float32)
+            rv = rv & ~((cwf > 0.25) | (chf > 0.25))
+        elif p.cropped_regions_strategy == "none":
+            rv = rv & ~was_cropped
+        if p.filter_regions_pre_match:
+            rv = rv & ~(
+                (variance < p.aoi_pixel_variance)
+                & (rmass.astype(jnp.float32) < p.aoi_min_mass)
+            )
+        # enlarge by padding within crop rectangle
+        el = jnp.clip(nl - p.frame_padding, cx0, cr_r)
+        et = jnp.clip(nt - p.frame_padding, cy0, cr_b)
+        er = jnp.clip(nr + p.frame_padding, cx0, cr_r)
+        eb = jnp.clip(nb + p.frame_padding, cy0, cr_b)
+        ew, eh = er - el, eb - et
+        # is_along_border (reference rectangle.set_is_along_border quirk: uses
+        # bounds.width/height as right/bottom limits)
+        border = (
+            was_cropped
+            | (el <= cx0 + extra_edge)
+            | (et <= cy0 + extra_edge)
+            | (er >= cw - extra_edge)
+            | (eb >= ch - extra_edge)
+        )
+        # pack valid regions to the front, preserving raster order
+        order = jnp.argsort(jnp.where(rv, 0, 1), stable=True)
+        rv = rv[order]
+        reg = {
+            "x": el[order], "y": et[order], "w": ew[order], "h": eh[order],
+            "mass": rmass[order], "cx": rcx[order], "cy": rcy[order],
+            "var": variance[order], "border": border[order],
+            "area": (ew * eh)[order],
+        }
+
+        slots = carry.slots
+
+        # =====================================================================
+        # matching (skipped entirely on FFC frames: tracks dropped, no blanks)
+        # =====================================================================
+        KTi = jnp.arange(KT, dtype=jnp.int32)
+
+        avg_mass = _ring_mean(slots.mass_ring, slots.ring_n)  # (KT,)
+        avg_area = _ring_mean(slots.area_ring, slots.ring_n)
+
+        # pairwise score + gates (KT, KR)
+        t_lx = slots.last_x.astype(jnp.float32)[:, None]
+        t_ly = slots.last_y.astype(jnp.float32)[:, None]
+        t_rx = (slots.last_x + slots.last_w).astype(jnp.float32)[:, None]
+        t_by = (slots.last_y + slots.last_h).astype(jnp.float32)[:, None]
+        r_x = reg["x"].astype(jnp.float32)[None, :]
+        r_y = reg["y"].astype(jnp.float32)[None, :]
+        r_r = (reg["x"] + reg["w"]).astype(jnp.float32)[None, :]
+        r_b = (reg["y"] + reg["h"]).astype(jnp.float32)[None, :]
+        d0 = (r_x - t_lx) ** 2 + (r_y - t_ly) ** 2
+        d2 = (r_r - t_rx) ** 2 + (r_b - t_by) ** 2
+        score = (d0 + d2) / 2.0
+
+        # max distance per track
+        vlen1 = slots.frames == 1
+        vx = jnp.where(vlen1, p.base_velocity, slots.vel[:, 0]) * p.velocity_multiplier
+        vy = jnp.where(vlen1, p.base_velocity, slots.vel[:, 1]) * p.velocity_multiplier
+        vel_dist = vx * vx + vy * vy
+        nonblank = slots.frames - slots.blank_frames
+        use_kal = nonblank > p.min_kalman_frames
+        pvx = jnp.where(use_kal, slots.pred_mid[:, 0] - slots.last_cent[:, 0], 0.0)
+        pvy = jnp.where(use_kal, slots.pred_mid[:, 1] - slots.last_cent[:, 1], 0.0)
+        pred_dist = pvx * pvx + pvy * pvy
+        max_dist = p.base_distance_change + jnp.maximum(vel_dist, pred_dist)
+
+        # mass gate
+        vel_sum = jnp.abs(slots.vel[:, 0]) + jnp.abs(slots.vel[:, 1])
+        mass_pct = jnp.where(vel_sum > 5.0, p.mass_change_percent + 0.1, p.mass_change_percent)
+        mass_gate_on = slots.frames.astype(jnp.float32) > p.restrict_mass_after * p.fps
+        max_mass_change = jnp.maximum(p.min_mass_change, avg_mass * mass_pct)
+        mass_dev = jnp.abs(avg_mass[:, None] - reg["mass"].astype(jnp.float32)[None, :])
+        mass_ok = ~mass_gate_on[:, None] | (mass_dev <= max_mass_change[:, None])
+
+        # size gate
+        exiting = reg["border"][None, :] & ~slots.last_border[:, None]
+        entering = ~exiting & slots.last_border[:, None]
+        pct = jnp.where(slots.frames < 5, 2.0, 1.5)[:, None] * jnp.ones((1, KR))
+        cross = entering | exiting
+        fast = (vel_sum > 10.0)[:, None]
+        pct = jnp.where(cross, jnp.where(fast, 6.0, 2.0), jnp.where(fast, pct * 2.0, pct))
+        size_change = jnp.abs(
+            reg["area"].astype(jnp.float32)[None, :] - avg_area[:, None]
+        ) / (avg_area[:, None] + 50.0)
+        size_ok = size_change <= pct
+
+        dist_ok = score <= max_dist[:, None]
+        eligible = (
+            slots.active[:, None] & rv[None, :] & mass_ok & size_ok & dist_ok
+        )
+
+        # tie key: frames_since_target_seen + float("0.<id>")
+        def id_frac(i):
+            # float("0.{id}") for id 1..: id / 10^digits
+            digits = jnp.where(i < 10, 1, jnp.where(i < 100, 2, 3))
+            denom = jnp.where(digits == 1, 10.0, jnp.where(digits == 2, 100.0, 1000.0))
+            return i.astype(jnp.float32) / denom
+
+        tie = slots.fsts.astype(jnp.float32) + id_frac(slots.track_id)
+
+        BIGF = jnp.float32(3.4e38)
+
+        def greedy_body(i, st):
+            t_matched, r_used, match_r = st
+            elig = eligible & ~t_matched[:, None] & ~r_used[None, :]
+            any_e = jnp.any(elig)
+            sc = jnp.where(elig, score, BIGF)
+            smin = jnp.min(sc)
+            cand = elig & (sc == smin)
+            tiem = jnp.where(cand, tie[:, None], BIGF)
+            tmin = jnp.min(tiem)
+            cand = cand & (tiem == tmin)
+            flat = jnp.argmax(cand.reshape(-1))  # first True in row-major
+            ti, ri = flat // KR, flat % KR
+            t_matched = jnp.where(any_e, t_matched.at[ti].set(True), t_matched)
+            r_used = jnp.where(any_e, r_used.at[ri].set(True), r_used)
+            match_r = jnp.where(any_e, match_r.at[ti].set(ri), match_r)
+            return t_matched, r_used, match_r
+
+        t_matched0 = jnp.zeros((KT,), jnp.bool_)
+        r_used0 = jnp.zeros((KR,), jnp.bool_)
+        match_r0 = jnp.full((KT,), -1, jnp.int32)
+        t_matched, r_used, match_r = jax.lax.fori_loop(
+            0, KT, greedy_body, (t_matched0, r_used0, match_r0)
+        )
+
+        # ---- new tracks from unmatched regions ------------------------------
+        # overlap vs active tracks' last bounds (the set at frame start)
+        ox = jnp.maximum(
+            0.0,
+            jnp.minimum(t_rx, r_r) - jnp.maximum(t_lx, r_x),
+        )
+        oy = jnp.maximum(
+            0.0,
+            jnp.minimum(t_by, r_b) - jnp.maximum(t_ly, r_y),
+        )
+        overlap = jnp.where(slots.active[:, None], ox * oy, 0.0)
+        max_overlap = jnp.max(overlap, axis=0)  # (KR,)
+        suppress = max_overlap > reg["area"].astype(jnp.float32) * 0.25
+        makes_track = rv & ~r_used & ~suppress
+
+        # assign new tracks to free slots in region order
+        free = ~slots.used
+        new_rank = jnp.cumsum(makes_track.astype(jnp.int32)) - 1  # rank per region
+        free_idx_sorted = jnp.argsort(jnp.where(free, KTi, KT + KTi), stable=True)
+        # slot index for k-th new track
+        def slot_for_rank(rank):
+            return free_idx_sorted[jnp.clip(rank, 0, KT - 1)]
+
+        new_slot_for_region = jnp.where(
+            makes_track, slot_for_rank(new_rank), -1
+        )
+        n_free = jnp.sum(free.astype(jnp.int32))
+        new_ok = makes_track & (new_rank < n_free)
+        # per-slot: which region created it (-1 none)
+        created_from = jnp.full((KT,), -1, jnp.int32)
+        created_from = created_from.at[
+            jnp.where(new_ok, new_slot_for_region, KT)
+        ].set(jnp.arange(KR, dtype=jnp.int32), mode="drop")
+        is_new = created_from >= 0
+
+        # =====================================================================
+        # slot updates
+        # =====================================================================
+        matched = match_r >= 0
+        mri = jnp.clip(match_r, 0, KR - 1)
+        cri = jnp.clip(created_from, 0, KR - 1)
+
+        # region picked per slot (matched or created)
+        pick = jnp.where(is_new, cri, mri)
+        g = lambda a: a[pick]
+        sel_x, sel_y = g(reg["x"]), g(reg["y"])
+        sel_w, sel_h = g(reg["w"]), g(reg["h"])
+        sel_mass = g(reg["mass"])
+        sel_cent = jnp.stack([g(reg["cx"]), g(reg["cy"])], axis=1)
+        sel_var = g(reg["var"])
+        sel_border = g(reg["border"])
+
+        active_unmatched = slots.active & ~matched  # blanked this frame
+
+        # ---- kalman updates -------------------------------------------------
+        def kal_update(has_meas, z, kx, kp):
+            cx_, cp_ = _kalman_correct(kx, kp, z)
+            kx1 = jnp.where(has_meas, cx_, kx)
+            kp1 = jnp.where(has_meas, cp_, kp)
+            px_, pp_ = _kalman_predict(kx1, kp1)
+            return px_, pp_
+
+        upd = matched | is_new | active_unmatched  # slots that append a row
+        kx_new, kp_new = jax.vmap(kal_update)(
+            matched | is_new, sel_cent, slots.kal_x, slots.kal_p
+        )
+        kal_x = jnp.where(upd[:, None], kx_new, slots.kal_x)
+        kal_p = jnp.where(upd[:, None, None], kp_new, slots.kal_p)
+        pred_mid = jnp.where(upd[:, None], kal_x[:, :2], slots.pred_mid)
+
+        # ---- blank-region geometry for unmatched active ---------------------
+        # kalman_amount computed with pre-update counters
+        kalman_amount = (
+            slots.frames - p.min_kalman_frames - slots.fsts * 2
+        )
+        use_pred_box = active_unmatched & (kalman_amount > 0)
+        pm = slots.pred_mid  # predicted_mid BEFORE this frame's predict (the
+        # reference reads self.predicted_mid set on the previous add_region)
+        # int() truncates toward zero
+        bx = jnp.trunc(pm[:, 0] - slots.last_w.astype(jnp.float32) / 2.0).astype(jnp.int32)
+        by = jnp.trunc(pm[:, 1] - slots.last_h.astype(jnp.float32) / 2.0).astype(jnp.int32)
+        # crop to crop rectangle
+        bl = jnp.clip(bx, cx0, cr_r)
+        bt = jnp.clip(by, cy0, cr_b)
+        br_ = jnp.clip(bx + slots.last_w, cx0, cr_r)
+        bb = jnp.clip(by + slots.last_h, cy0, cr_b)
+        blank_x = jnp.where(use_pred_box, bl, slots.last_x)
+        blank_y = jnp.where(use_pred_box, bt, slots.last_y)
+        blank_w = jnp.where(use_pred_box, br_ - bl, slots.last_w)
+        blank_h = jnp.where(use_pred_box, bb - bt, slots.last_h)
+        blank_cent = jnp.where(use_pred_box[:, None], pm, slots.last_cent)
+        blank_border = jnp.where(use_pred_box, False, slots.last_border)
+
+        # ---- new last_* -----------------------------------------------------
+        take_reg = matched | is_new
+        new_last_x = jnp.where(take_reg, sel_x, jnp.where(active_unmatched, blank_x, slots.last_x))
+        new_last_y = jnp.where(take_reg, sel_y, jnp.where(active_unmatched, blank_y, slots.last_y))
+        new_last_w = jnp.where(take_reg, sel_w, jnp.where(active_unmatched, blank_w, slots.last_w))
+        new_last_h = jnp.where(take_reg, sel_h, jnp.where(active_unmatched, blank_h, slots.last_h))
+        new_last_mass = jnp.where(take_reg, sel_mass, jnp.where(active_unmatched, 0, slots.last_mass))
+        new_last_cent = jnp.where(
+            take_reg[:, None], sel_cent, jnp.where(active_unmatched[:, None], blank_cent, slots.last_cent)
+        )
+        new_last_blank = jnp.where(take_reg, False, jnp.where(active_unmatched, True, slots.last_blank))
+        new_last_border = jnp.where(take_reg, sel_border, jnp.where(active_unmatched, blank_border, slots.last_border))
+
+        # velocity entry: centroid diff vs previous last (0 for new tracks)
+        vel_new = jnp.where(
+            (matched | active_unmatched)[:, None],
+            new_last_cent - slots.last_cent,
+            jnp.where(is_new[:, None], 0.0, slots.vel),
+        )
+
+        # counters
+        frames_new = slots.frames + (matched | active_unmatched).astype(jnp.int32)
+        frames_new = jnp.where(is_new, 1, frames_new)
+        blank_frames_new = slots.blank_frames + active_unmatched.astype(jnp.int32)
+        blank_frames_new = jnp.where(is_new, 0, blank_frames_new)
+        fsts_new = jnp.where(
+            matched | is_new, 0, slots.fsts + active_unmatched.astype(jnp.int32)
+        )
+        # tracking state after blank: fsts < min(2*(frames - fsts), max_blanks)
+        stop_tracking = jnp.minimum(
+            2 * (frames_new - fsts_new), p.max_blanks
+        )
+        still_tracking = fsts_new < stop_tracking
+        active_new = (matched | is_new) | (active_unmatched & still_tracking)
+
+        # rings (only non-blank appends). New tracks restart their ring.
+        push = take_reg
+        pos = jnp.where(is_new, 0, slots.ring_pos)
+        base_mass_ring = jnp.where(is_new[:, None], 0.0, slots.mass_ring)
+        base_area_ring = jnp.where(is_new[:, None], 0.0, slots.area_ring)
+        mass_ring = jnp.where(
+            push[:, None],
+            base_mass_ring.at[KTi, pos].set(sel_mass.astype(jnp.float32)),
+            base_mass_ring,
+        )
+        area_ring = jnp.where(
+            push[:, None],
+            base_area_ring.at[KTi, pos].set((sel_w * sel_h).astype(jnp.float32)),
+            base_area_ring,
+        )
+        ring_pos = jnp.where(push, (pos + 1) % 5, pos)
+        ring_n = jnp.where(
+            is_new, 1, jnp.where(push, jnp.minimum(slots.ring_n + 1, 5), slots.ring_n)
+        )
+
+        # ids
+        new_count = jnp.sum(is_new.astype(jnp.int32))
+        id_order = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+        track_id = jnp.where(is_new, carry.next_id + id_order, slots.track_id)
+        next_id = carry.next_id + new_count
+        start_frame = jnp.where(is_new, frame_idx, slots.start_frame)
+        used = slots.used | is_new
+
+        new_slots = TrackSlots(
+            active=active_new, used=used, track_id=track_id,
+            start_frame=start_frame, frames=frames_new,
+            blank_frames=blank_frames_new, fsts=fsts_new,
+            kal_x=kal_x, kal_p=kal_p, pred_mid=pred_mid,
+            last_x=new_last_x, last_y=new_last_y, last_w=new_last_w,
+            last_h=new_last_h, last_mass=new_last_mass,
+            last_cent=new_last_cent, last_blank=new_last_blank,
+            last_border=new_last_border, vel=vel_new,
+            mass_ring=mass_ring, area_ring=area_ring,
+            ring_n=ring_n, ring_pos=ring_pos,
+        )
+
+        # ---- FFC: drop all tracks, no rows, no regions ----------------------
+        ffc_slots = slots._replace(active=jnp.zeros((KT,), jnp.bool_))
+        out_slots = jax.tree.map(
+            lambda a, b: jnp.where(ffc, a, b), ffc_slots, new_slots
+        )
+
+        emitted = jnp.where(ffc, False, upd)
+        row_blank = active_unmatched
+        rows = FrameRows(
+            emitted=emitted,
+            blank=jnp.where(emitted, row_blank, False),
+            x=new_last_x, y=new_last_y, w=new_last_w, h=new_last_h,
+            mass=new_last_mass, cent=new_last_cent,
+            variance=jnp.where(take_reg, sel_var, 0.0),
+            border=new_last_border,
+            reg_valid=jnp.where(ffc, False, rv),
+            reg_x=reg["x"], reg_y=reg["y"], reg_w=reg["w"], reg_h=reg["h"],
+            reg_mass=reg["mass"], reg_variance=reg["var"],
+            threshold=mapped_thresh,
+            overflow=comps.overflow,
+        )
+
+        # =====================================================================
+        # background model update (WeightedBackground with mean45 frame)
+        # =====================================================================
+        frame_i = mean45_int  # already int32-truncated on host, f32 storage
+        wgt = carry.weight
+        descend = (bg < frame_i - wgt) & (interior_mask > 0)
+        bg_int = jnp.where(interior_mask > 0, jnp.where(descend, bg, frame_i), bg)
+        new_wgt = jnp.where(
+            interior_mask > 0, jnp.where(descend, wgt + p.weight_add, 0.0), wgt
+        )
+        changed = jnp.any((bg_int != bg) & (interior_mask > 0))
+        bg_new = jnp.where(changed, replicate_edges(bg_int), bg)
+        # average = int(round(mean(interior))) when changed — exact int path
+        s_bg = jnp.sum(
+            jnp.where(interior_mask > 0, bg_new, 0.0).astype(jnp.int32)
+        )
+        avg_num = jnp.where(changed, _round_half_even_div(s_bg, interior_n), carry.avg_num)
+        avg_den = jnp.where(changed, 1, carry.avg_den)
+
+        new_carry = Carry(
+            background=bg_new, weight=new_wgt, avg_num=avg_num, avg_den=avg_den,
+            prev_filtered=filtered_raw, has_prev=jnp.bool_(True),
+            slots=out_slots, next_id=jnp.where(ffc, carry.next_id, next_id),
+            frame_idx=frame_idx,
+        )
+        return new_carry, rows
+
+    return step
+
+
+def init_carry(p: TrackingParams, first_frame: np.ndarray) -> Carry:
+    """reference init_clip: WeightedBackground.process_frame(first frame)."""
+    H, W = p.res_y, p.res_x
+    cx0, cy0, cw, ch = p.crop
+    frame_i = np.int32(first_frame)[cy0 : cy0 + ch, cx0 : cx0 + cw]
+    bg = np.zeros((H, W), np.float32)
+    bg[cy0 : cy0 + ch, cx0 : cx0 + cw] = frame_i
+    # set_background_edges
+    e = p.edge_pixels
+    for k in range(e):
+        bg[k] = bg[e]
+        bg[H - 1 - k] = bg[H - 1 - e]
+    for k in range(e):
+        bg[:, k] = bg[:, e]
+        bg[:, W - 1 - k] = bg[:, W - 1 - e]
+    avg_num = int(frame_i.sum())
+    avg_den = int(frame_i.size)
+    return Carry(
+        background=jnp.asarray(bg),
+        weight=jnp.zeros((H, W), jnp.float32),
+        avg_num=jnp.int32(avg_num),
+        avg_den=jnp.int32(avg_den),
+        prev_filtered=jnp.zeros((H, W), jnp.float32),
+        has_prev=jnp.bool_(False),
+        slots=_empty_slots(p.max_track_slots),
+        next_id=jnp.int32(1),
+        frame_idx=jnp.int32(-1),
+    )
+
+
+def running_mean45_int(thermal: np.ndarray, window: int = 45) -> np.ndarray:
+    """Host precompute of np.int32(mean of trailing <=45 frames), float64 math
+    (reference cliptrackextractor.py:170-176 uses np.mean over the frame
+    buffer's last 45 frames, then WeightedBackground int32-truncates)."""
+    T = thermal.shape[0]
+    cs = np.cumsum(thermal.astype(np.float64), axis=0)
+    out = np.empty_like(thermal, dtype=np.float32)
+    for t in range(T):
+        lo = max(0, t - window + 1)
+        n = t - lo + 1
+        s = cs[t] - (cs[lo - 1] if lo > 0 else 0)
+        out[t] = np.int32(s / n)
+    return out
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _track_scan(params: TrackingParams, carry: Carry, thermal, mean45, ffc):
+    step = make_scan_step(params)
+    return jax.lax.scan(step, carry, (thermal, mean45, ffc))
+
+
+def track_clip(
+    thermal: np.ndarray,
+    ffc: np.ndarray,
+    params: TrackingParams,
+    background: np.ndarray | None = None,
+):
+    """Run the full tracking scan over a clip.
+
+    thermal: (T, H, W) uint16 frames to process (background frame excluded).
+    ffc: (T,) bool per-frame FFC-affected flags.
+    background: initial background frame (the clip's embedded background frame
+      if present, else the first frame — reference init_clip behavior).
+
+    Returns (FrameRows stacked over T, final Carry). Compiled once per
+    (params, T); repeat clips of the same length hit the jit cache. Batch
+    callers should pad T to a bucket to maximize reuse.
+    """
+    if background is None:
+        background = thermal[0]
+    carry = init_carry(params, background)
+    mean45 = running_mean45_int(thermal)
+    carry, rows = _track_scan(
+        params,
+        carry,
+        jnp.asarray(thermal.astype(np.int32)),
+        jnp.asarray(mean45),
+        jnp.asarray(ffc.astype(bool)),
+    )
+    return rows, carry

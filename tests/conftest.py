@@ -2,12 +2,19 @@ import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
 # exercised without TPU hardware (the driver separately dry-runs them).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: this environment force-registers a remote TPU ("axon") platform via
+# sitecustomize and overrides JAX_PLATFORMS; jax.config.update is the only
+# reliable way to pin tests to local CPU.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 

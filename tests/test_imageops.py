@@ -1,0 +1,138 @@
+"""Image-op parity tests against OpenCV (cv2 is a test oracle only — the
+product compute path is pure JAX)."""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+import jax
+import jax.numpy as jnp
+
+from classifier_pipeline_tpu.ops import imageops as ops
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(42)
+
+
+def test_gaussian_blur5_u8_exact(rng):
+    for _ in range(3):
+        img = rng.integers(0, 256, (120, 160)).astype(np.uint8)
+        ref = cv2.GaussianBlur(img, (5, 5), 0)
+        mine = np.asarray(ops.gaussian_blur5_u8(jnp.asarray(img, jnp.int32)))
+        np.testing.assert_array_equal(mine.astype(np.uint8), ref)
+
+
+def test_gaussian_blur5_f32(rng):
+    img = rng.uniform(0, 300, (60, 80)).astype(np.float32)
+    ref = cv2.GaussianBlur(img, (5, 5), 0)
+    mine = np.asarray(ops.gaussian_blur5_f32(jnp.asarray(img)))
+    np.testing.assert_allclose(mine, ref, atol=1e-3)
+
+
+def test_threshold_floor(rng):
+    img = rng.integers(0, 256, (50, 60)).astype(np.uint8)
+    for t in [30.0, 37.6, 254.9]:
+        _, ref = cv2.threshold(img, t, 255, cv2.THRESH_BINARY)
+        mine = np.asarray(ops.threshold_binary_u8(jnp.asarray(img, jnp.int32), t))
+        np.testing.assert_array_equal(mine.astype(np.uint8), ref)
+
+
+def test_close_tuple_quirk(rng):
+    for _ in range(3):
+        img = (rng.integers(0, 2, (40, 50)) * 255).astype(np.uint8)
+        ref = cv2.morphologyEx(img, cv2.MORPH_CLOSE, (5, 5))
+        mine = np.asarray(ops.close_2x1(jnp.asarray(img, jnp.int32)))
+        np.testing.assert_array_equal(mine.astype(np.uint8), ref)
+
+
+def test_connected_components_vs_cv2(rng):
+    for trial in range(5):
+        img = (rng.random((60, 80)) < 0.25).astype(np.uint8) * 255
+        # close it a bit so components are blob-like but keep some noise
+        n_ref, _, stats_ref, cent_ref = cv2.connectedComponentsWithStats(img)
+        K = 64
+        mine = jax.jit(
+            lambda m: ops.connected_components_stats(m, K)
+        )(jnp.asarray(img, jnp.int32))
+        nv = int(np.sum(np.asarray(mine.valid)))
+        assert nv == min(n_ref - 1, K)
+        if n_ref - 1 > K:
+            continue
+        ref = stats_ref[1:]
+        order = np.arange(n_ref - 1)
+        mx = np.asarray(mine.x)[:nv]
+        np.testing.assert_array_equal(mx, ref[order, 0])
+        np.testing.assert_array_equal(np.asarray(mine.y)[:nv], ref[order, 1])
+        np.testing.assert_array_equal(np.asarray(mine.w)[:nv], ref[order, 2])
+        np.testing.assert_array_equal(np.asarray(mine.h)[:nv], ref[order, 3])
+        np.testing.assert_array_equal(np.asarray(mine.area)[:nv], ref[order, 4])
+        np.testing.assert_allclose(np.asarray(mine.cx)[:nv], cent_ref[1:, 0], atol=1e-4)
+        np.testing.assert_allclose(np.asarray(mine.cy)[:nv], cent_ref[1:, 1], atol=1e-4)
+
+
+def test_ccl_snake():
+    # pathological snake: long winding single component
+    img = np.zeros((30, 30), np.uint8)
+    for r in range(0, 30, 2):
+        img[r, :] = 255
+        if (r // 2) % 2 == 0 and r + 1 < 30:
+            img[r + 1, -1] = 255
+        elif r + 1 < 30:
+            img[r + 1, 0] = 255
+    mine = ops.connected_components_stats(jnp.asarray(img, jnp.int32), 8)
+    n_ref, _, stats_ref, _ = cv2.connectedComponentsWithStats(img)
+    assert int(np.sum(np.asarray(mine.valid))) == n_ref - 1 == 1
+    assert int(np.asarray(mine.area)[0]) == stats_ref[1, 4]
+
+
+def test_nl_means_close_to_cv2(possum_cptv):
+    from classifier_pipeline_tpu.cptv import load_cptv
+
+    clip = load_cptv(possum_cptv)
+    bg = clip.pixels[0].astype(np.float32)
+    worst = 0.0
+    for idx in [40, 60, 100]:
+        filt = np.clip(clip.pixels[idx].astype(np.float32) - bg, 0, None)
+        mn, mx = filt.min(), filt.max()
+        u8 = (255 * (filt - mn) / (mx - mn)).astype(np.uint8)
+        ref = cv2.fastNlMeansDenoising(u8, None).astype(np.int32)
+        mine = np.asarray(ops.nl_means_denoise_u8(jnp.asarray(u8, jnp.int32)))
+        diff = np.abs(mine - ref)
+        worst = max(worst, diff.max())
+        # cv2's "fast" NL-means quantizes distances through a LUT; we compute
+        # the exact formula, so allow ~1 gray level mean drift. Track-level
+        # parity (test_tracking_parity) is the real gate.
+        assert diff.mean() < 1.0
+    assert worst <= 10
+
+
+def test_detect_objects_pipeline(possum_cptv):
+    """Full detect_objects chain vs the cv2 reference chain on real data."""
+    from classifier_pipeline_tpu.cptv import load_cptv
+
+    clip = load_cptv(possum_cptv)
+    bg = clip.pixels[0].astype(np.float32)
+    for idx in [60, 80]:
+        filt = np.clip(clip.pixels[idx].astype(np.float32) - bg, 0, None)
+        mn, mx = filt.min(), filt.max()
+        norm = (255 * (filt - mn) / (mx - mn)).astype(np.float32)
+        u8 = norm.astype(np.uint8)
+        thresh = 20 / (mx - mn) * 255
+
+        ref_img = cv2.GaussianBlur(u8, (5, 5), 0)
+        _, ref_img = cv2.threshold(ref_img, thresh, 255, cv2.THRESH_BINARY)
+        ref_img = cv2.morphologyEx(ref_img, cv2.MORPH_CLOSE, (5, 5))
+        n_ref, _, stats_ref, _ = cv2.connectedComponentsWithStats(ref_img)
+
+        mask, stats = jax.jit(lambda x, t: ops.detect_objects(x, t, 16))(
+            jnp.asarray(u8, jnp.int32), jnp.float32(thresh)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mask).astype(np.uint8), ref_img
+        )
+        nv = int(np.sum(np.asarray(stats.valid)))
+        assert nv == n_ref - 1
+        np.testing.assert_array_equal(np.asarray(stats.area)[:nv], stats_ref[1:, 4])
