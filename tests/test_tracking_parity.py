@@ -1,0 +1,74 @@
+"""Track-level regression tests against the reference's golden output.
+
+possum.txt ships with the reference repo and is the tracker's acceptance
+oracle (same role as tests/tracking-tests.yml in the reference CI). The
+matcher tolerances mirror the reference's trackingtest.py (MAX_ERROR=8 px),
+but our tracker currently matches exactly, so we assert much tighter.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from classifier_pipeline_tpu.pipeline.extractor import extract_file
+
+
+@pytest.fixture(scope="module")
+def possum_result(possum_cptv):
+    return extract_file(possum_cptv)
+
+
+def test_possum_track_parity(possum_result, possum_meta):
+    mine = possum_result.metadata["tracks"]
+    gold = possum_meta["tracks"]
+    assert len(mine) == len(gold) == 2
+    for m, g in zip(mine, gold):
+        assert m["frame_start"] == g["frame_start"]
+        assert m["frame_end"] == g["frame_end"]
+        assert m["num_frames"] == g["num_frames"]
+        assert m["start_s"] == g["start_s"]
+        assert m["end_s"] == g["end_s"]
+        assert abs(m["tracking_score"] - g["tracking_score"]) < 0.35
+        gp = {p["frame_number"]: p for p in g["positions"]}
+        mp = {p["frame_number"]: p for p in m["positions"]}
+        assert set(gp) == set(mp)
+        box_exact = 0
+        for fn in gp:
+            a, b = mp[fn], gp[fn]
+            # boxes must be near-exact; mass may drift a few counts from the
+            # NL-means LUT approximation
+            assert abs(a["x"] - b["x"]) <= 1 and abs(a["y"] - b["y"]) <= 1
+            assert abs(a["width"] - b["width"]) <= 2
+            assert abs(a["height"] - b["height"]) <= 2
+            assert abs(a["mass"] - b["mass"]) <= max(5, 0.02 * b["mass"])
+            assert a["blank"] == b["blank"]
+            if (a["x"], a["y"], a["width"], a["height"]) == (
+                b["x"], b["y"], b["width"], b["height"]
+            ):
+                box_exact += 1
+        # expect essentially everything to be pixel-exact
+        assert box_exact >= len(gp) - 1
+
+
+def test_possum_metadata_fields(possum_result, possum_meta):
+    m = possum_result.metadata
+    assert m["camera_model"] == possum_meta["camera_model"] == "lepton3"
+    assert m["background_thresh"] == possum_meta["background_thresh"] == 20
+    assert m["start_time"] == possum_meta["start_time"]
+    assert m["algorithm"]["tracker_version"] == 11
+    pos_keys = set(m["tracks"][0]["positions"][0].keys())
+    gold_keys = set(possum_meta["tracks"][0]["positions"][0].keys())
+    assert pos_keys == gold_keys
+
+
+def test_hedgehog_runs(hedgehog_cptv):
+    """hedgehog has no embedded background frame and no golden tracks file;
+    smoke-check the no-background path (reference regression suite uses it
+    for the speed bound)."""
+    res = extract_file(hedgehog_cptv)
+    assert res.n_frames == 119
+    # the hedgehog clip contains a real animal; tracking should find it
+    assert len(res.tracks) >= 1
+    t = res.metadata["tracks"][0]
+    assert t["num_frames"] > 9
