@@ -1,0 +1,393 @@
+"""Model interpreters (reference src/ml_tools/interpreter.py).
+
+The reference dispatches to TFLite / OpenVINO / Keras backends; here there is
+one native backend — Flax/XLA — plus the network-RPC passthrough. Model
+artifacts are a pair:
+
+  <model>.json     same metadata schema as the reference (labels, hyperparams,
+                   thresholds, type)
+  <model>.msgpack  flax.serialization bytes of {params, batch_stats}
+
+Batch shapes are bucketed to powers of two so repeat clips hit the jit cache.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import logging
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from classifier_pipeline_tpu.classify import preprocess_jax
+from classifier_pipeline_tpu.classify.trackprediction import TrackPrediction
+from classifier_pipeline_tpu.data.segments import SegmentType, get_segments
+from classifier_pipeline_tpu.models.registry import build_classifier
+
+
+class HyperParams(dict):
+    """Dict with the reference's defaulted accessors (hyperparams.py)."""
+
+    @property
+    def model_name(self):
+        return self.get("model_name", "wr-resnet")
+
+    @property
+    def frame_size(self):
+        return self.get("frame_size", 32)
+
+    @property
+    def square_width(self):
+        return self.get("square_width", 5 if self.use_segments else 1)
+
+    @property
+    def use_segments(self):
+        return self.get("use_segments", True)
+
+    @property
+    def segment_width(self):
+        return self.get("segment_width", 25 if self.use_segments else 1)
+
+    @property
+    def channels(self):
+        return self.get("channels", ["thermal", "filtered"])
+
+    @property
+    def diff_norm(self):
+        return self.get("diff_norm", True)
+
+    @property
+    def thermal_diff_norm(self):
+        return self.get("thermal_diff_norm", False)
+
+    @property
+    def smooth_predictions(self):
+        return self.get("smooth_predictions", False)
+
+    @property
+    def multi_label(self):
+        return self.get("multi_label", True)
+
+    @property
+    def mvm(self):
+        return self.get("mvm", False)
+
+    @property
+    def segment_types(self):
+        st = self.get("segment_types", [SegmentType.ALL_RANDOM_MASKED])
+        if isinstance(st, str):
+            st = [SegmentType[st]]
+        elif st and isinstance(st[0], str):
+            st = [SegmentType[s] for s in st]
+        return st
+
+    @property
+    def dense_sizes(self):
+        return self.get("dense_sizes", None)
+
+    @property
+    def dropout(self):
+        return self.get("dropout", 0.3)
+
+
+def _next_bucket(n, minimum=1):
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
+
+
+class ClipContext:
+    """Device-side clip state needed for classification: thermal + the
+    tracking-time filtered frames + per-frame medians + ffc list."""
+
+    def __init__(self, thermal: np.ndarray, filtered: np.ndarray, ffc_frames):
+        self.thermal = jnp.asarray(thermal.astype(np.float32))
+        self.filtered = jnp.asarray(filtered.astype(np.float32))
+        self.medians = jnp.asarray(np.median(thermal, axis=(1, 2)).astype(np.float32))
+        self._medians_np = np.median(thermal, axis=(1, 2))
+        self._thermal_np = thermal
+        self.ffc_frames = list(ffc_frames)
+        self.background = None
+
+    def clip_thermals_at_zero(self, regions) -> bool:
+        """reference preprocess_segments:390-399: if any unique region's
+        median(thermal crop - frame median) <= 0, don't clip at zero."""
+        for r in regions:
+            sub = self._thermal_np[
+                r.frame_number, r.y : r.y + r.height, r.x : r.x + r.width
+            ]
+            if sub.size == 0:
+                continue
+            if np.median(np.float32(sub) - self._medians_np[r.frame_number]) <= 0:
+                return False
+        return True
+
+
+class FlaxInterpreter:
+    """Native interpreter: Flax model + device preprocessing."""
+
+    TYPE = "Flax"
+
+    def __init__(self, model_file, run_over_network=False, load_model=True):
+        self.model_file = Path(model_file)
+        self.load_json(self.model_file)
+        self.run_over_network = run_over_network
+        self.port = 8123
+        self.id = None
+        self.seed = None
+        self.model = None
+        self.variables = None
+        if load_model and not run_over_network:
+            self.load_model()
+
+    def load_json(self, filename):
+        filename = Path(filename).with_suffix(".json")
+        metadata = json.load(open(filename))
+        self.version = metadata.get("version")
+        self.labels = metadata["labels"]
+        self.params = HyperParams()
+        self.params["remapped_labels"] = metadata.get("remapped_labels")
+        self.params["excluded_labels"] = metadata.get("excluded_labels")
+        self.params.update(metadata.get("hyperparams", {}))
+        self.data_type = metadata.get("type", "thermal")
+        self.mapped_labels = metadata.get("mapped_labels")
+        self.label_probabilities = metadata.get("label_probabilities")
+        self.thresholds = metadata.get("thresholds")
+
+    def load_model(self):
+        import flax.serialization
+
+        self.model = build_classifier(
+            self.params.model_name,
+            len(self.labels),
+            params=self.params,
+            dense_sizes=self.params.dense_sizes,
+            dropout=self.params.dropout,
+            multi_label=self.params.multi_label,
+        )
+        weights_file = self.model_file.with_suffix(".msgpack")
+        if weights_file.exists():
+            target = self._init_variables()
+            self.variables = flax.serialization.from_bytes(
+                target, weights_file.read_bytes()
+            )
+        else:
+            logging.warning(
+                "No weights at %s — using random init (test mode)", weights_file
+            )
+            self.variables = self._init_variables()
+        self._predict_jit = jax.jit(
+            lambda v, x: self.model.apply(v, x, train=False)
+        )
+
+    def _init_variables(self):
+        size = self.params.frame_size * self.params.square_width
+        dummy = jnp.zeros((1, size, size, len(self.params.channels)), jnp.float32)
+        return self.model.init(jax.random.PRNGKey(0), dummy, train=False)
+
+    def shape(self):
+        size = self.params.frame_size * self.params.square_width
+        return 1, (None, size, size, len(self.params.channels))
+
+    def predict(self, batch):
+        batch = np.asarray(batch, np.float32)
+        if self.run_over_network:
+            return self.predict_over_network(batch)
+        n = batch.shape[0]
+        b = _next_bucket(n)
+        if b != n:
+            batch = np.concatenate(
+                [batch, np.zeros((b - n,) + batch.shape[1:], np.float32)]
+            )
+        out = self._predict_jit(self.variables, jnp.asarray(batch))
+        return np.asarray(out)[:n]
+
+    def predict_over_network(self, data):
+        """HTTP passthrough (reference interpreter.py:53-62)."""
+        import urllib.request
+
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{self.port}/predict",
+            data=np.float32(data).tobytes(),
+            headers={"content-type": "application/octet-stream"},
+        )
+        with urllib.request.urlopen(req) as resp:
+            out = np.frombuffer(resp.read(), dtype=np.float32)
+        return out.reshape(len(data), -1)
+
+    # ---------------------------------------------------------- tracks -----
+
+    def frames_for_prediction(self, clip_ctx, track, **args):
+        predict_from_last = args.get("predict_from_last")
+        segment_frames = args.get("segment_frames")
+        dont_filter = args.get("dont_filter", False)
+        max_predictions = args.get("num_predictions")
+        bounds = track.bounds
+        from_last = predict_from_last
+        if from_last is not None and segment_frames is None:
+            available = len(bounds)
+            from_last = min(from_last, available)
+            if available > from_last:
+                target = from_last
+                from_last = 0
+                valid = 0
+                for i, r in enumerate(reversed(bounds[-available:])):
+                    if r.blank:
+                        continue
+                    valid += 1
+                    from_last = i + 1
+                    if valid >= target:
+                        break
+        if from_last is not None:
+            if from_last == 0:
+                return []
+            regions = bounds[-from_last:]
+            start_frame = regions[0].frame_number
+        else:
+            regions = bounds
+            start_frame = track.start_frame
+        segments, _ = get_segments(
+            "clip",
+            track.track_id,
+            start_frame,
+            regions,
+            segment_width=self.params.square_width**2,
+            ffc_frames=[] if dont_filter else clip_ctx.ffc_frames,
+            repeats=1,
+            segment_types=self.params.segment_types,
+            max_segments=max_predictions,
+            dont_filter=dont_filter,
+            min_segments=args.get("min_segments"),
+            seed=self.seed,
+        )
+        return segments
+
+    def preprocess_segments(self, clip_ctx, track, segments):
+        # unique regions by frame number (reference preprocess_segments)
+        unique = {}
+        for seg in segments:
+            for r in seg.regions:
+                unique.setdefault(r.frame_number, r)
+        regions = sorted(unique.values(), key=lambda r: r.frame_number)
+        if not regions:
+            return None, None, None
+        clip_at_zero = clip_ctx.clip_thermals_at_zero(regions)
+        F = len(regions)
+        Fb = _next_bucket(F, 8)
+        reg_arr = np.zeros((Fb, 5), np.int32)
+        valid = np.zeros((Fb,), bool)
+        frame_to_pos = {}
+        for i, r in enumerate(regions):
+            reg_arr[i] = (r.frame_number, r.x, r.y, r.width, r.height)
+            valid[i] = True
+            frame_to_pos[r.frame_number] = i
+        if self.params.diff_norm:
+            # limits over the whole track's non-blank regions
+            track_regions = [
+                b for b in track.bounds
+                if not b.blank and b.width > 0 and b.height > 0
+            ]
+            Tb = _next_bucket(len(track_regions), 8)
+            tr = np.zeros((Tb, 5), np.int32)
+            tv = np.zeros((Tb,), bool)
+            for i, r in enumerate(track_regions):
+                tr[i] = (r.frame_number, r.x, r.y, r.width, r.height)
+                tv[i] = True
+            limits = preprocess_jax.filtered_limits_for_track(
+                clip_ctx.filtered, jnp.asarray(tr), jnp.asarray(tv)
+            )
+        else:
+            limits = jnp.asarray([np.nan, np.nan], np.float32)
+
+        frames = preprocess_jax.preprocess_track_frames(
+            clip_ctx.thermal,
+            clip_ctx.filtered,
+            jnp.asarray(reg_arr),
+            jnp.asarray(valid),
+            clip_ctx.medians,
+            limits,
+            frame_size=self.params.frame_size,
+            clip_at_zero=clip_at_zero,
+        )
+        S = len(segments)
+        Sb = _next_bucket(S)
+        sw2 = self.params.square_width**2
+        seg_idx = np.zeros((Sb, sw2), np.int32)
+        for i, seg in enumerate(segments):
+            seg_idx[i] = [frame_to_pos[f] for f in seg.frame_indices]
+        tiles = preprocess_jax.tile_segments(
+            frames.tiles, jnp.asarray(seg_idx), self.params.square_width
+        )
+        preprocessed = np.asarray(tiles)[:S]
+        masses = [seg.mass for seg in segments]
+        return [list(s.frame_indices) for s in segments], preprocessed, masses
+
+    def classify_track(self, clip_ctx, track, segment_frames=None, min_segments=None):
+        start = time.time()
+        segments = self.frames_for_prediction(
+            clip_ctx,
+            track,
+            segment_frames=segment_frames,
+            min_segments=min_segments,
+        )
+        if not segments:
+            logging.info("Skipping track %s", track.track_id)
+            return None
+        frames, preprocessed, masses = self.preprocess_segments(
+            clip_ctx, track, segments
+        )
+        if preprocessed is None or len(preprocessed) == 0:
+            return None
+        output = self.predict(preprocessed)
+        track_pred = self.track_prediction_from_raw(
+            track.track_id, frames, output, masses
+        )
+        track_pred.classify_time = time.time() - start
+        return track_pred
+
+    def track_prediction_from_raw(self, track_id, prediction_frames, output, masses):
+        tp = TrackPrediction(
+            track_id, self.labels, smooth_preds=self.params.smooth_predictions
+        )
+        tp.classified_track(output, prediction_frames, masses)
+        if (
+            len(prediction_frames) == 1
+            and len(set(prediction_frames[0])) < self.params.square_width**2 / 4
+        ):
+            if tp.predicted_tag() != "false-positive":
+                tp.cap_confidences(0.5)
+        return tp
+
+
+def guess_type(model_file):
+    model_file = Path(model_file)
+    if model_file.suffix in (".msgpack", ".flax", ""):
+        return FlaxInterpreter.TYPE
+    if model_file.suffix == ".pkl":
+        return "RandomForest"
+    return FlaxInterpreter.TYPE
+
+
+def get_interpreter(model, run_over_network=False, load_model=True, seed=None):
+    """Factory (reference interpreter.py:597-628). `model` is a ModelConfig."""
+    mtype = model.type or guess_type(model.model_file)
+    if mtype == "RandomForest":
+        from classifier_pipeline_tpu.models.forest import ForestModel
+
+        classifier = ForestModel(model.model_file, load_model=load_model)
+    else:
+        classifier = FlaxInterpreter(
+            model.model_file,
+            run_over_network=run_over_network or model.run_over_network,
+            load_model=load_model,
+        )
+    classifier.id = model.id
+    classifier.port = model.port
+    if seed is not None:
+        classifier.seed = seed
+    return classifier

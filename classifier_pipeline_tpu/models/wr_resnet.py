@@ -1,0 +1,136 @@
+"""Wide-ResNet backbone (Flax), the pipeline's default classifier.
+
+Architecture parity with the reference's custom Keras WRResNet
+(reference src/ml_tools/resnet/wr_resnet.py:5-98): depth-22 k=4 wide resnet
+with grouped 3x3 convs (groups=2), pre-activation BN blocks, dropout 0.1
+inside blocks, and stage strides (1, 2, 3) — including the reference's
+unusual stride-3 final stage. The classifier head matches
+kerasmodel.build_model: GAP -> optional dense stack -> dropout -> sigmoid
+(multi-label) dense.
+
+TPU notes: convs run in bfloat16 on the MXU with float32 accumulation
+(preferred_element_type); BN statistics stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+class BasicBlock(nn.Module):
+    """Pre-activation wide-resnet basic block with grouped convs."""
+
+    f1: int
+    f2: int
+    stride: int = 1
+    groups: int = 2
+    dropout: float = 0.1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        shortcut = x
+        y = nn.BatchNorm(use_running_average=not train, axis=-1, name="bn2a")(x)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.f1,
+            (3, 3),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            feature_group_count=self.groups,
+            dtype=self.compute_dtype,
+            name="conv2a",
+        )(y)
+        y = nn.Dropout(self.dropout, deterministic=not train)(y)
+        y = nn.BatchNorm(use_running_average=not train, axis=-1, name="bn2b")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.f2,
+            (3, 3),
+            strides=(1, 1),
+            padding="SAME",
+            feature_group_count=self.groups,
+            dtype=self.compute_dtype,
+            name="conv2b",
+        )(y)
+        if shortcut.shape[-1] != y.shape[-1]:
+            shortcut = nn.Conv(
+                y.shape[-1],
+                (1, 1),
+                strides=(self.stride, self.stride),
+                feature_group_count=self.groups,
+                dtype=self.compute_dtype,
+                name="conv_shortcut",
+            )(shortcut)
+        return nn.relu(y + shortcut)
+
+
+class WRResNet(nn.Module):
+    """Backbone only; returns (N, H', W', 64k) feature maps."""
+
+    depth: int = 22
+    k: int = 4
+    groups: int = 2
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        filters = [16, 16 * self.k, 32 * self.k, 64 * self.k]
+        n = (self.depth - 4) // 6
+        x = x.astype(self.compute_dtype)
+        for stage, f in enumerate(filters):
+            if stage == 0:
+                x = nn.Conv(
+                    f,
+                    (3, 3),
+                    strides=(1, 1),
+                    padding="SAME",
+                    feature_group_count=self.groups,
+                    dtype=self.compute_dtype,
+                    name="conv1",
+                )(x)
+            else:
+                # reference wr_block: first block stride = stage index (1,2,3)
+                for d in range(n):
+                    x = BasicBlock(
+                        f1=f,
+                        f2=f,
+                        stride=stage if d == 0 else 1,
+                        groups=self.groups,
+                        compute_dtype=self.compute_dtype,
+                        name=f"res{stage + 1}b{d}",
+                    )(x, train=train)
+        x = nn.BatchNorm(use_running_average=not train, axis=-1, name="final_bn")(x)
+        return nn.relu(x)
+
+
+class Classifier(nn.Module):
+    """Backbone + head (reference kerasmodel.build_model:259-378)."""
+
+    backbone: nn.Module
+    num_labels: int
+    dense_sizes: Sequence[int] | None = None
+    dropout: float = 0.3
+    multi_label: bool = True
+    logits_only: bool = False
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        x = self.backbone(x, train=train)
+        x = jnp.mean(x, axis=(1, 2))  # GlobalAveragePooling2D
+        x = x.astype(jnp.float32)
+        if self.dense_sizes:
+            for i, size in enumerate(self.dense_sizes):
+                x = nn.relu(nn.Dense(size, name=f"dense_{i}")(x))
+        if self.dropout:
+            x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        logits = nn.Dense(self.num_labels, name="prediction")(x)
+        if self.logits_only:
+            return logits
+        if self.multi_label:
+            return nn.sigmoid(logits)
+        return nn.softmax(logits, axis=-1)

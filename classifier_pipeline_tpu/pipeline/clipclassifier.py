@@ -1,0 +1,107 @@
+"""Clip classification pipeline (reference src/classify/clipclassifier.py).
+
+process_file: track extraction (or metadata reuse) -> per-model, per-track
+segment classification -> merged metadata JSON. The classifier cascade's
+heavy work (crop/resize/normalize/tile + CNN forward over every segment of
+every track) is batched device code; this module orchestrates.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from pathlib import Path
+
+import numpy as np
+
+from classifier_pipeline_tpu.classify.interpreter import ClipContext, get_interpreter
+from classifier_pipeline_tpu.classify.trackprediction import Predictions
+from classifier_pipeline_tpu.config.config import Config, ModelConfig
+from classifier_pipeline_tpu.pipeline.extractor import (
+    ClipTrackExtractor,
+    _json_default,
+)
+
+
+class ClipClassifier:
+    def __init__(self, config: Config, model=None, seed=None):
+        self.config = config
+        self.models = [model] if model else config.models
+        if not self.models:
+            raise ValueError("no classification models configured")
+        self.seed = seed
+        self._interpreters = {}
+
+    def get_classifier(self, model: ModelConfig):
+        key = model.id
+        if key not in self._interpreters:
+            t0 = time.time()
+            self._interpreters[key] = get_interpreter(model, seed=self.seed)
+            logging.info(
+                "Loaded model %s in %.1fs", model.name or model.model_file,
+                time.time() - t0,
+            )
+        return self._interpreters[key]
+
+    def process_file(self, filename, cache=None, reuse_frames=None) -> dict:
+        start = time.time()
+        filename = Path(filename)
+        extractor = ClipTrackExtractor(
+            config=self.config.raw, keep_rows=True, emit_filtered=True
+        )
+        result = extractor.extract(filename)
+
+        thermal = result.clip.pixels[~result.clip.is_background]
+        filtered = np.asarray(result.rows.filtered)
+        ctx = ClipContext(thermal, filtered, self._ffc_frames(result))
+
+        predictions_per_model = {}
+        for model in self.models:
+            interpreter = self.get_classifier(model)
+            preds = Predictions(interpreter.labels, model, interpreter.thresholds)
+            predictions_per_model[model.id] = preds
+            for track in result.tracks:
+                # min_segments=1: always classify even very short tracks
+                # (reference clipclassifier.py:282-284)
+                tp = interpreter.classify_track(ctx, track, min_segments=1)
+                if tp is not None:
+                    preds.prediction_per_track[track.track_id] = tp
+                    logging.info(
+                        "%s - track %s: %s (%.2f)",
+                        filename.name,
+                        track.track_id,
+                        tp.predicted_tag(),
+                        tp.max_score or 0,
+                    )
+
+        meta = result.metadata
+        for i, track in enumerate(result.tracks):
+            pred_info = []
+            for model_id, preds in predictions_per_model.items():
+                tp = preds.prediction_for(track.track_id)
+                if tp is None:
+                    continue
+                pm = tp.get_metadata(preds.thresholds)
+                pm["model_id"] = model_id
+                pred_info.append(pm)
+            meta["tracks"][i]["predictions"] = pred_info
+        meta["models"] = [vars(m) for m in self.models]
+        logging.info(
+            "Classified %s (%d tracks) in %.1fs",
+            filename.name, len(result.tracks), time.time() - start,
+        )
+        return meta
+
+    @staticmethod
+    def _ffc_frames(result):
+        clip = result.clip
+        mask = ~clip.is_background
+        t = clip.time_on_ms[mask].astype(np.int64)
+        c = clip.last_ffc_ms[mask].astype(np.int64)
+        return list(np.nonzero((t - c) < 9)[0])
+
+    def save_metadata(self, meta, out_path):
+        with open(out_path, "w") as f:
+            json.dump(meta, f, indent=4, default=_json_default)
+        return out_path

@@ -67,10 +67,11 @@ class ClipTrackExtractor:
     VERSION = TRACKER_VERSION
     TYPE = "thermal"
 
-    def __init__(self, config=None, verbose=False, keep_rows=True):
+    def __init__(self, config=None, verbose=False, keep_rows=True, emit_filtered=False):
         self.config = config or {}
         self.verbose = verbose
         self.keep_rows = keep_rows
+        self.emit_filtered = emit_filtered
         self._clip_id = 0
 
     def params_for(self, camera_model) -> TrackingParams:
@@ -83,6 +84,7 @@ class ClipTrackExtractor:
             denoise=tracking.get("denoise", True),
             max_track_slots=tracking.get("max_track_slots", 24),
             max_region_slots=tracking.get("max_region_slots", 16),
+            emit_filtered=self.emit_filtered,
         )
 
     def extract(self, path, process_background=False) -> ExtractResult:

@@ -71,6 +71,8 @@ class TrackingParams:
     max_region_slots: int = 16
     max_track_slots: int = 24
     weight_add: float = 0.1  # 1.0 for lepton3.5
+    # emit per-frame filtered (thermal - background) for downstream classify
+    emit_filtered: bool = False
 
     @property
     def crop(self):
@@ -140,6 +142,7 @@ class FrameRows(NamedTuple):
     reg_variance: jax.Array  # (R,) f32
     threshold: jax.Array  # f32 mapped threshold
     overflow: jax.Array  # i32 dropped CCL components
+    filtered: jax.Array  # (H, W) f32 when params.emit_filtered else (1, 1)
 
 
 def _round_half_even_div(d: jax.Array, n) -> jax.Array:
@@ -639,6 +642,7 @@ def make_scan_step(p: TrackingParams):
             reg_mass=reg["mass"], reg_variance=reg["var"],
             threshold=mapped_thresh,
             overflow=comps.overflow,
+            filtered=filtered_raw if p.emit_filtered else jnp.zeros((1, 1), jnp.float32),
         )
 
         # =====================================================================
