@@ -1,0 +1,99 @@
+"""Training/eval step functions (optax) for the classifier models.
+
+Multi-label sigmoid BCE matching the reference's training objective
+(reference kerasmodel.py loss/optimizer + model.fit; multi-label default).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(NamedTuple):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array
+
+
+def make_optimizer(learning_rate=0.001):
+    return optax.adam(learning_rate)
+
+
+def create_train_state(model, rng, input_shape, tx) -> TrainState:
+    variables = model.init(rng, jnp.zeros(input_shape, jnp.float32), train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState(
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        step=jnp.int32(0),
+    )
+
+
+def bce_loss(logits, labels, label_smoothing=0.0):
+    if label_smoothing:
+        labels = labels * (1 - label_smoothing) + 0.5 * label_smoothing
+    return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+
+
+def make_train_step(model, tx, multi_label=True, label_smoothing=0.0):
+    """Returns step(state, batch, rng) -> (state, metrics). The model must be
+    built with logits_only=True for a numerically stable loss."""
+
+    def loss_fn(params, batch_stats, images, labels, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        logits, mutated = model.apply(
+            variables,
+            images,
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        if multi_label:
+            loss = bce_loss(logits, labels, label_smoothing)
+        else:
+            loss = optax.softmax_cross_entropy(logits, labels).mean()
+        return loss, (mutated["batch_stats"], logits)
+
+    def step(state: TrainState, images, labels, rng):
+        (loss, (new_bs, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, images, labels, rng)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        preds = (jax.nn.sigmoid(logits) > 0.5) if multi_label else (
+            jnp.argmax(logits, -1)[:, None] == jnp.argmax(labels, -1)[:, None]
+        )
+        acc = jnp.mean((preds == (labels > 0.5)).astype(jnp.float32))
+        return (
+            TrainState(new_params, new_bs, new_opt, state.step + 1),
+            {"loss": loss, "binary_accuracy": acc},
+        )
+
+    return step
+
+
+def make_eval_step(model, multi_label=True):
+    def step(state: TrainState, images, labels):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        logits = model.apply(variables, images, train=False)
+        if multi_label:
+            loss = bce_loss(logits, labels)
+            acc = jnp.mean(
+                ((jax.nn.sigmoid(logits) > 0.5) == (labels > 0.5)).astype(jnp.float32)
+            )
+        else:
+            loss = optax.softmax_cross_entropy(logits, labels).mean()
+            acc = jnp.mean(
+                (jnp.argmax(logits, -1) == jnp.argmax(labels, -1)).astype(jnp.float32)
+            )
+        return {"loss": loss, "binary_accuracy": acc}
+
+    return step
