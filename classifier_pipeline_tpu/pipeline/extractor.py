@@ -67,11 +67,19 @@ class ClipTrackExtractor:
     VERSION = TRACKER_VERSION
     TYPE = "thermal"
 
-    def __init__(self, config=None, verbose=False, keep_rows=True, emit_filtered=False):
+    def __init__(
+        self,
+        config=None,
+        verbose=False,
+        keep_rows=True,
+        emit_filtered=False,
+        calculate_thumbnails=True,
+    ):
         self.config = config or {}
         self.verbose = verbose
         self.keep_rows = keep_rows
         self.emit_filtered = emit_filtered
+        self.calculate_thumbnails = calculate_thumbnails
         self._clip_id = 0
 
     def params_for(self, camera_model) -> TrackingParams:
@@ -85,6 +93,7 @@ class ClipTrackExtractor:
             max_track_slots=tracking.get("max_track_slots", 24),
             max_region_slots=tracking.get("max_region_slots", 16),
             emit_filtered=self.emit_filtered,
+            emit_mask=self.calculate_thumbnails,
         )
 
     def extract(self, path, process_background=False) -> ExtractResult:
@@ -128,6 +137,8 @@ class ClipTrackExtractor:
         meta = self.build_metadata(
             path, clip, camera_model, th, good, thermal.shape[0]
         )
+        if self.calculate_thumbnails:
+            self._add_thumbnails(meta, thermal, rows, good, th)
         tracking_time = time.time() - start
         meta["source"] = str(path)
         meta["tracking_time"] = round(tracking_time, 1)
@@ -145,6 +156,39 @@ class ClipTrackExtractor:
             clip=clip,
             background=np.asarray(carry.background),
         )
+
+    def _add_thumbnails(self, meta, thermal, rows, tracks, th):
+        """reference trackextractor.get_metadata:205-230 thumbnail wiring."""
+        from classifier_pipeline_tpu.classify import thumbnail
+
+        masks = np.asarray(rows.mask)
+        for i, track in enumerate(tracks):
+            meta["tracks"][i]["thumbnail"] = thumbnail.thumbnail_metadata(
+                thermal, masks, track, th["background_thresh"]
+            )
+        if not tracks:
+            region_history = []
+            rv = np.asarray(rows.reg_valid)
+            rm = np.asarray(rows.reg_mass)
+            rx = np.asarray(rows.reg_x)
+            ry = np.asarray(rows.reg_y)
+            rw = np.asarray(rows.reg_w)
+            rh = np.asarray(rows.reg_h)
+            for t in range(rv.shape[0]):
+                regions = [
+                    {
+                        "x": int(rx[t, j]), "y": int(ry[t, j]),
+                        "width": int(rw[t, j]), "height": int(rh[t, j]),
+                        "mass": int(rm[t, j]), "frame_number": t,
+                        "pixel_variance": 0, "blank": False, "in_trap": False,
+                    }
+                    for j in range(rv.shape[1])
+                    if rv[t, j]
+                ]
+                region_history.append(regions)
+            meta["thumbnail_region"] = thumbnail.best_trackless_thumb(
+                thermal, region_history
+            )
 
     def build_metadata(self, path, clip, camera_model, th, tracks, n_frames):
         header = clip.header

@@ -73,6 +73,8 @@ class TrackingParams:
     weight_add: float = 0.1  # 1.0 for lepton3.5
     # emit per-frame filtered (thermal - background) for downstream classify
     emit_filtered: bool = False
+    # emit the per-frame detection mask (for thumbnails / previews)
+    emit_mask: bool = False
 
     @property
     def crop(self):
@@ -143,6 +145,7 @@ class FrameRows(NamedTuple):
     threshold: jax.Array  # f32 mapped threshold
     overflow: jax.Array  # i32 dropped CCL components
     filtered: jax.Array  # (H, W) f32 when params.emit_filtered else (1, 1)
+    mask: jax.Array  # (H, W) u8 detection mask when params.emit_mask else (1, 1)
 
 
 def _round_half_even_div(d: jax.Array, n) -> jax.Array:
@@ -298,7 +301,7 @@ def make_scan_step(p: TrackingParams):
         )
 
         # ---- detect objects -------------------------------------------------
-        _, comps = ops.detect_objects(obj, mapped_thresh, KR)
+        det_mask, comps = ops.detect_objects(obj, mapped_thresh, KR)
 
         # ---- delta frame for pixel variance --------------------------------
         cur_norm, _, _ = normalize255(filtered_raw)
@@ -643,6 +646,9 @@ def make_scan_step(p: TrackingParams):
             threshold=mapped_thresh,
             overflow=comps.overflow,
             filtered=filtered_raw if p.emit_filtered else jnp.zeros((1, 1), jnp.float32),
+            mask=det_mask.astype(jnp.uint8)
+            if p.emit_mask
+            else jnp.zeros((1, 1), jnp.uint8),
         )
 
         # =====================================================================
