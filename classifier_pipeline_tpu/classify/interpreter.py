@@ -103,27 +103,45 @@ def _next_bucket(n, minimum=1):
 
 class ClipContext:
     """Device-side clip state needed for classification: thermal + the
-    tracking-time filtered frames + per-frame medians + ffc list."""
+    tracking-time filtered frames + per-frame medians + ffc list.
 
-    def __init__(self, thermal: np.ndarray, filtered: np.ndarray, ffc_frames):
+    ``frame_numbers`` maps array rows to clip frame numbers (identity for
+    whole-clip contexts; the streaming runtime passes its ring-buffer's
+    frame numbers)."""
+
+    def __init__(self, thermal: np.ndarray, filtered: np.ndarray, ffc_frames,
+                 frame_numbers=None):
         self.thermal = jnp.asarray(thermal.astype(np.float32))
         self.filtered = jnp.asarray(filtered.astype(np.float32))
-        self.medians = jnp.asarray(np.median(thermal, axis=(1, 2)).astype(np.float32))
         self._medians_np = np.median(thermal, axis=(1, 2))
+        self.medians = jnp.asarray(self._medians_np.astype(np.float32))
         self._thermal_np = thermal
         self.ffc_frames = list(ffc_frames)
         self.background = None
+        if frame_numbers is None:
+            self._index = None
+        else:
+            self._index = {int(fn): i for i, fn in enumerate(frame_numbers)}
+
+    def index_of(self, frame_number: int) -> int:
+        if self._index is None:
+            return frame_number
+        return self._index[int(frame_number)]
+
+    def has_frame(self, frame_number: int) -> bool:
+        if self._index is None:
+            return 0 <= frame_number < self._thermal_np.shape[0]
+        return int(frame_number) in self._index
 
     def clip_thermals_at_zero(self, regions) -> bool:
         """reference preprocess_segments:390-399: if any unique region's
         median(thermal crop - frame median) <= 0, don't clip at zero."""
         for r in regions:
-            sub = self._thermal_np[
-                r.frame_number, r.y : r.y + r.height, r.x : r.x + r.width
-            ]
+            i = self.index_of(r.frame_number)
+            sub = self._thermal_np[i, r.y : r.y + r.height, r.x : r.x + r.width]
             if sub.size == 0:
                 continue
-            if np.median(np.float32(sub) - self._medians_np[r.frame_number]) <= 0:
+            if np.median(np.float32(sub) - self._medians_np[i]) <= 0:
                 return False
         return True
 
@@ -283,7 +301,7 @@ class FlaxInterpreter:
         valid = np.zeros((Fb,), bool)
         frame_to_pos = {}
         for i, r in enumerate(regions):
-            reg_arr[i] = (r.frame_number, r.x, r.y, r.width, r.height)
+            reg_arr[i] = (clip_ctx.index_of(r.frame_number), r.x, r.y, r.width, r.height)
             valid[i] = True
             frame_to_pos[r.frame_number] = i
         if self.params.diff_norm:
@@ -291,12 +309,13 @@ class FlaxInterpreter:
             track_regions = [
                 b for b in track.bounds
                 if not b.blank and b.width > 0 and b.height > 0
+                and clip_ctx.has_frame(b.frame_number)
             ]
             Tb = _next_bucket(len(track_regions), 8)
             tr = np.zeros((Tb, 5), np.int32)
             tv = np.zeros((Tb,), bool)
             for i, r in enumerate(track_regions):
-                tr[i] = (r.frame_number, r.x, r.y, r.width, r.height)
+                tr[i] = (clip_ctx.index_of(r.frame_number), r.x, r.y, r.width, r.height)
                 tv[i] = True
             limits = preprocess_jax.filtered_limits_for_track(
                 clip_ctx.filtered, jnp.asarray(tr), jnp.asarray(tv)
@@ -326,6 +345,21 @@ class FlaxInterpreter:
         preprocessed = np.asarray(tiles)[:S]
         masses = [seg.mass for seg in segments]
         return [list(s.frame_indices) for s in segments], preprocessed, masses
+
+    def predict_recent_frames(self, clip_ctx, track, **args):
+        """Streaming cascade entry (reference interpreter.py:103-109):
+        classify the last N frames of a live track. Returns
+        (prediction, frames, masses) or None."""
+        segments = self.frames_for_prediction(clip_ctx, track, **args)
+        if not segments:
+            return None
+        frames, preprocessed, masses = self.preprocess_segments(
+            clip_ctx, track, segments
+        )
+        if preprocessed is None or len(preprocessed) == 0:
+            return None
+        prediction = self.predict(preprocessed)
+        return prediction, frames, masses
 
     def classify_track(self, clip_ctx, track, segment_frames=None, min_segments=None):
         start = time.time()

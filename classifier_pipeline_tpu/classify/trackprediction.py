@@ -106,6 +106,33 @@ class TrackPrediction:
             else:
                 self.class_best_score = self.class_best_score / top_score
 
+    def classified_frames(self, frame_numbers, predictions, masses):
+        """Incremental accumulation from the streaming cascade
+        (reference trackprediction.py:196-233)."""
+        predictions = np.asarray(predictions)
+        smoothed = None
+        total_pred = None
+        if not self.smooth_preds:
+            total_pred = np.sum(predictions, axis=0)
+        for frames, pred, mass in zip(frame_numbers, predictions, masses):
+            if isinstance(frames, (list, np.ndarray)):
+                self.num_frames_classified += len(frames)
+            else:
+                self.num_frames_classified += 1
+            if self.smooth_preds:
+                smoothed = pred**2 * mass
+                total_pred = smoothed if total_pred is None else total_pred + smoothed
+            self.last_frame_classified = int(np.amax(frames))
+            p = Prediction(pred, smoothed, frames, self.last_frame_classified, mass)
+            if self.keep_all:
+                self.predictions.append(p)
+            else:
+                self.predictions = [p]
+        if self.class_best_score is None:
+            self.class_best_score = total_pred
+        else:
+            self.class_best_score = self.class_best_score + total_pred
+
     def classified_frame(self, frame_number, predictions, mass):
         self.last_frame_classified = frame_number
         self.num_frames_classified += 1

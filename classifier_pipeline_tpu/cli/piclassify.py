@@ -1,0 +1,193 @@
+"""pi-classify CLI (reference src/piclassifier/piclassify.py).
+
+Two modes:
+  * socket daemon: accept leptond connections on /var/run/lepton-frames
+    (YAML header handshake, then telemetry+pixel frames), with queue
+    backpressure and frame dropping.
+  * --file replay: feed a CPTV recording through the same
+    PiClassifier.process_frame loop (how CI exercises the streaming system).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import queue
+import socket
+import sys
+import threading
+import time
+from pathlib import Path
+
+import numpy as np
+
+SOCKET_NAME = "/var/run/lepton-frames"
+MAX_QUEUE_SECONDS = 4
+DROP_EVERY = 9
+
+
+def replay_file(args, config, thermal_config):
+    from classifier_pipeline_tpu.cptv import load_cptv
+    from classifier_pipeline_tpu.pipeline.cameras import CameraFrame, HeaderInfo
+    from classifier_pipeline_tpu.pipeline.piclassifier import PiClassifier
+    from classifier_pipeline_tpu.pipeline.recorders import DummyRecorder
+
+    clip = load_cptv(args.file)
+    h = clip.header
+    headers = HeaderInfo(
+        res_x=h.x_resolution, res_y=h.y_resolution, fps=h.fps or 9,
+        brand=h.brand or None, model=h.model or None,
+        frame_size=h.x_resolution * h.y_resolution * 2, pixel_bits=16,
+        serial=h.camera_serial, firmware=h.firmware,
+    )
+    recorder = DummyRecorder(thermal_config, headers)
+    pi = PiClassifier(
+        config, thermal_config, headers,
+        classify=thermal_config.motion.run_classifier and args.classify,
+        detect_after=args.detect_after,
+        recorder=recorder,
+        seed=args.seed,
+    )
+    target_dt = 1.0 / args.fps if args.fps else 0
+    n = 0
+    start = time.time()
+    for frame in clip.frames():
+        if frame.background_frame:
+            continue
+        cf = CameraFrame(
+            pix=np.asarray(frame.pix),
+            time_on=frame.time_on,
+            last_ffc_time=frame.last_ffc_time,
+            temp_c=frame.temp_c,
+            last_ffc_temp_c=frame.last_ffc_temp_c,
+        )
+        t0 = time.time()
+        pi.process_frame(cf, time.time())
+        n += 1
+        if target_dt:
+            leftover = target_dt - (time.time() - t0)
+            if leftover > 0:
+                time.sleep(leftover)
+    pi.disconnected()
+    elapsed = time.time() - start
+    logging.info(
+        "Replayed %d frames in %.1fs (%.1f fps)", n, elapsed, n / max(elapsed, 1e-9)
+    )
+    return 0
+
+
+def handle_connection(conn, config, thermal_config, args):
+    from classifier_pipeline_tpu.pipeline.cameras import (
+        HeaderInfo,
+        camera_for_headers,
+    )
+    from classifier_pipeline_tpu.pipeline.piclassifier import PiClassifier
+
+    conn.settimeout(180)
+    # YAML header handshake terminated by a clear-byte pair
+    data = b""
+    while b"\nclear" not in data and len(data) < 10000:
+        chunk = conn.recv(4096)
+        if not chunk:
+            raise ConnectionError("no header received")
+        data += chunk
+        if b"\n\n" in data:
+            break
+    header_str = data.split(b"\n\n")[0].decode()
+    headers = HeaderInfo.parse_header(header_str)
+    logging.info("Camera connected: %s", headers)
+    camera = camera_for_headers(headers)
+
+    pi = PiClassifier(
+        config, thermal_config, headers,
+        classify=thermal_config.motion.run_classifier,
+        seed=args.seed,
+    )
+    frame_size = headers.frame_size + camera.get_telemetry_size() \
+        if not headers.frame_size else headers.frame_size
+    process_queue: queue.Queue = queue.Queue()
+
+    def classifier_loop():
+        while True:
+            item = process_queue.get()
+            if item is None:
+                break
+            frame, received = item
+            pi.process_frame(frame, received)
+
+    worker = threading.Thread(target=classifier_loop, daemon=True)
+    worker.start()
+    max_queue = MAX_QUEUE_SECONDS * headers.fps
+    dropped = 0
+    try:
+        while True:
+            buf = b""
+            while len(buf) < frame_size:
+                chunk = conn.recv(frame_size - len(buf), socket.MSG_WAITALL)
+                if not chunk:
+                    raise ConnectionError("camera disconnected")
+                buf += chunk
+            frame = camera.parse(buf)
+            if frame.pix.min() == 0:
+                from classifier_pipeline_tpu.services.eventreporter import log_event
+
+                log_event("bad-thermal-frame")
+                continue
+            if process_queue.qsize() > max_queue:
+                dropped += 1
+                if dropped % DROP_EVERY != 0:
+                    continue  # drop frame (reference backpressure policy)
+            process_queue.put((frame, time.time()))
+    finally:
+        process_queue.put(None)
+        worker.join(timeout=30)
+        pi.disconnected()
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="real-time thermal classifier")
+    parser.add_argument("--file", help="replay a CPTV file instead of the camera")
+    parser.add_argument("-c", "--config-file")
+    parser.add_argument("--thermal-config-file")
+    parser.add_argument("--fps", type=int, default=0, help="replay pacing (0 = flat out)")
+    parser.add_argument("--seed", type=int)
+    parser.add_argument("--detect-after", type=int, default=None)
+    parser.add_argument("--no-classify", dest="classify", action="store_false")
+    parser.add_argument("--socket", default=SOCKET_NAME)
+    parser.add_argument("--platform", choices=["tpu", "cpu", "default"], default="default")
+    args = parser.parse_args(argv)
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from classifier_pipeline_tpu.config.config import Config
+    from classifier_pipeline_tpu.config.thermalconfig import ThermalConfig
+    from classifier_pipeline_tpu.utils.logs import init_logging
+
+    init_logging()
+    config = Config.load_from_file(args.config_file)
+    thermal_config = ThermalConfig.load_from_file(args.thermal_config_file)
+
+    if args.file:
+        return replay_file(args, config, thermal_config)
+
+    sock_path = Path(args.socket)
+    if sock_path.exists():
+        sock_path.unlink()
+    server = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    server.bind(str(sock_path))
+    server.listen(1)
+    logging.info("Listening on %s", sock_path)
+    while True:
+        conn, _ = server.accept()
+        try:
+            handle_connection(conn, config, thermal_config, args)
+        except Exception:
+            logging.exception("connection handler failed")
+        finally:
+            conn.close()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

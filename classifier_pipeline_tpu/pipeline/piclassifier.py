@@ -1,0 +1,488 @@
+"""Real-time streaming classifier (reference src/piclassifier/piclassifier.py).
+
+Per-frame loop at camera rate: motion detection -> recorder control ->
+streaming tracking (device step) -> two-stage classification cascade
+(forest FP gate every FP_MODEL_SKIP_FRAMES, full CNN every SKIP_FRAMES on
+the best non-FP track) -> tracking signals -> end-of-recording metadata.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from collections import deque
+from datetime import datetime, timedelta
+from pathlib import Path
+
+import numpy as np
+
+from classifier_pipeline_tpu.classify.interpreter import ClipContext, get_interpreter
+from classifier_pipeline_tpu.classify.trackprediction import Predictions
+from classifier_pipeline_tpu.pipeline.motiondetector import CPTVMotionDetector
+from classifier_pipeline_tpu.pipeline.recorders import (
+    CPTVRecorder,
+    DummyRecorder,
+    ThrottledRecorder,
+)
+from classifier_pipeline_tpu.pipeline.streamtracker import StreamingTracker
+from classifier_pipeline_tpu.services.service import SnapshotService
+from classifier_pipeline_tpu.track.tracker_jax import TrackingParams
+from classifier_pipeline_tpu.pipeline.extractor import (
+    threshold_for_model,
+    _json_default,
+)
+
+
+class PiClassifier:
+    NUM_CONCURRENT_TRACKS = 1
+    DEBUG_EVERY = 20
+    # try to classify a non-fp track every X frames
+    SKIP_FRAMES = 25
+    # only re-classify the same track after this many frames
+    PREDICT_EVERY = 40
+    # fp model cadence
+    FP_MODEL_SKIP_FRAMES = 10
+    FP_PREDICT_EVERY = 30
+
+    def __init__(self, config, thermal_config, headers, classify=True,
+                 detect_after=None, recorder=None, seed=None):
+        self.config = config
+        self.thermal_config = thermal_config
+        self.headers = headers
+        self.classify = classify
+        self.seed = seed
+        self.frame_num = 0
+        self.predictions = {}
+        self.monitored_tracks = {}
+        self.recording = False
+        self.tracking_events = thermal_config.motion.tracking_events
+        self.classifier = None
+        self.fp_model = None
+        self.classifier_initialised = False
+        self.fp_index = None
+        self.next_classify_frame = 0
+        self.next_fp_classification_frame = 0
+        # timing accounting (reference piclassifier.py:117-127)
+        self.process_time = 0.0
+        self.tracking_time = 0.0
+        self.identify_time = 0.0
+        self.fp_identify_time = 0.0
+        self.rec_time = 0.0
+        self.total_time = 0.0
+        self.fps_timer = deque(maxlen=9)
+
+        model = None
+        fp_config = None
+        for mc in config.models:
+            if mc.type == "RandomForest":
+                fp_config = mc
+            else:
+                model = mc
+        if classify and model is not None:
+            self.classifier = get_interpreter(model, seed=seed)
+            self.frames_per_classify = self.classifier.params.square_width ** 2
+            self.predict_from_last = self.frames_per_classify * 2
+            self.max_keep_frames = self.frames_per_classify * 2
+            self.predictions[model.id] = Predictions(
+                self.classifier.labels, model, self.classifier.thresholds
+            )
+            # streaming uses ALL_RANDOM (reference piclassifier.py:438-441)
+            self.classifier.params["segment_types"] = ["ALL_RANDOM"]
+            try:
+                self.fp_index = self.classifier.labels.index("false-positive")
+            except ValueError:
+                self.fp_index = None
+        else:
+            self.frames_per_classify = 25
+            self.predict_from_last = 50
+            self.max_keep_frames = 50
+        if classify and fp_config is not None:
+            self.fp_model = get_interpreter(fp_config)
+            self.predictions[self.fp_model.id] = Predictions(
+                self.fp_model.labels, fp_config, self.fp_model.thresholds
+            )
+
+        self.motion_detector = CPTVMotionDetector(
+            thermal_config,
+            thermal_config.motion.dynamic_thresh,
+            headers,
+            detect_after=detect_after,
+        )
+        if recorder is not None:
+            self.recorder = recorder
+            if getattr(recorder, "on_recording_stopping", None) is None:
+                recorder.on_recording_stopping = self.on_recording_stopping
+        else:
+            rec = CPTVRecorder(
+                thermal_config, headers,
+                on_recording_stopping=self.on_recording_stopping,
+            )
+            if thermal_config.throttler.activate:
+                rec = ThrottledRecorder(
+                    rec, thermal_config, headers, self.on_recording_stopping
+                )
+            self.recorder = rec
+
+        th = threshold_for_model(headers.model)
+        self.background_thresh = th["background_thresh"]
+        self.tracker_params = TrackingParams(
+            background_thresh=float(th["background_thresh"]),
+            weight_add=1.0 if headers.model == "lepton3.5" else 0.1,
+            external_background=True,
+            emit_filtered=True,
+            emit_mask=True,
+            res_x=headers.res_x,
+            res_y=headers.res_y,
+        )
+        self.tracker = StreamingTracker(self.tracker_params, fps=headers.fps)
+        self.service = SnapshotService(
+            headers=headers,
+            labels=self.classifier.labels if self.classifier else [],
+        )
+        # frame ring for classification (thermal + filtered + numbers)
+        self._ring = deque(maxlen=max(64, self.max_keep_frames + 14))
+        self.output_dir = Path(thermal_config.recorder.output_dir)
+
+    # ----------------------------------------------------------- helpers ---
+
+    def startup_classifier(self):
+        self.classifier_initialised = True
+        if self.classifier is None:
+            return
+        num_inputs, in_shape = self.classifier.shape()
+        self.classifier.predict(np.zeros((1, *in_shape[1:]), np.float32))
+
+    def _bg_rational(self):
+        avg = self.motion_detector._background.average
+        if isinstance(avg, (int, np.integer)):
+            return int(avg), 1
+        # initial float average: num/den rational over the crop
+        cx, cy, cw, ch = self.motion_detector.crop_rectangle
+        den = cw * ch
+        return int(round(avg * den)), den
+
+    def _ffc(self, frame):
+        from classifier_pipeline_tpu.pipeline.motiondetector import is_affected_by_ffc
+
+        return is_affected_by_ffc(frame)
+
+    def _clip_context(self):
+        if not self._ring:
+            return None
+        frames = list(self._ring)
+        thermal = np.stack([f[1] for f in frames])
+        filtered = np.stack([f[2] for f in frames])
+        numbers = [f[0] for f in frames]
+        ctx = ClipContext(thermal, filtered, [], frame_numbers=numbers)
+        ctx.background = np.asarray(
+            self.motion_detector.background, np.float32
+        )
+        return ctx
+
+    # ------------------------------------------------------------- clip ----
+
+    def new_clip(self, preview_frames, received_at):
+        self.tracker.start_clip()
+        self._ring.clear()
+        self.next_classify_frame = 0
+        self.next_fp_classification_frame = 0
+        for p in self.predictions.values():
+            p.clear_predictions()
+        self.monitored_tracks = {}
+        # track the preview frames (reference start_tracking over preview)
+        for f in preview_frames:
+            self._track_frame(f, received_at)
+
+    def _track_frame(self, frame, received_at):
+        bg = self.motion_detector.background
+        num, den = self._bg_rational()
+        new_tracks, rows = self.tracker.process_frame(
+            frame.pix, bg, num, den, self._ffc(frame)
+        )
+        for t in new_tracks:
+            t.received_at = received_at
+        t_idx = self.tracker.current_frame
+        self._ring.append(
+            (t_idx, np.asarray(frame.pix, np.uint16), np.asarray(rows.filtered))
+        )
+        return new_tracks
+
+    # ---------------------------------------------------------- cascade ----
+
+    def get_active_tracks(self):
+        return [t for t in self.tracker.active_tracks if len(t) >= 8]
+
+    def get_best_prediction(self, track_id):
+        if self.classifier is not None:
+            p = self.predictions[self.classifier.id].prediction_for(track_id)
+            if p is not None and p.num_frames_classified > 0:
+                return p, self.classifier.id
+        if self.fp_model is not None:
+            p = self.predictions[self.fp_model.id].prediction_for(track_id)
+            if p is not None:
+                return p, self.fp_model.id
+        return None, None
+
+    def identify_last_frame(self):
+        current_frame = self.tracker.current_frame
+        if (
+            self.next_fp_classification_frame >= current_frame
+            and self.next_classify_frame >= current_frame
+        ):
+            return False
+        self.next_fp_classification_frame += self.FP_MODEL_SKIP_FRAMES
+        active_tracks = self.get_active_tracks()
+        if len(active_tracks) == 0:
+            return False
+        new_prediction = False
+        ctx = self._clip_context()
+        if ctx is None:
+            return False
+
+        if self.fp_model is not None:
+            fp_start = time.time()
+            for track in active_tracks:
+                if self.classifier is not None:
+                    full = self.predictions[self.classifier.id].prediction_for(
+                        track.track_id
+                    )
+                    if full is not None and full.num_frames_classified > 0:
+                        continue
+                tp = self.predictions[self.fp_model.id].get_or_create_prediction(
+                    track
+                )
+                if (
+                    tp.last_frame_classified is not None
+                    and current_frame - tp.last_frame_classified
+                    < self.FP_PREDICT_EVERY
+                ):
+                    continue
+                result = self.fp_model.predict_track(
+                    ctx,
+                    track,
+                    predict_from_last=45,
+                    max_frames=self.FP_PREDICT_EVERY // 5,
+                    num_predictions=1,
+                    last_frame_predicted=tp.last_frame_classified,
+                )
+                if result is None:
+                    tp.last_frame_classified = current_frame
+                    continue
+                frames, prediction, mass = result
+                tp.classified_frames(frames, prediction, mass)
+                new_prediction = True
+            self.fp_identify_time += time.time() - fp_start
+
+        if self.classifier is not None and self.next_classify_frame <= current_frame:
+            id_start = time.time()
+            self.next_classify_frame += self.SKIP_FRAMES
+            for track in self.get_active_animal_tracks_for_predicting():
+                tp = self.predictions[self.classifier.id].get_or_create_prediction(
+                    track
+                )
+                result = self.classifier.predict_recent_frames(
+                    ctx,
+                    track,
+                    predict_from_last=self.predict_from_last,
+                    num_predictions=1,
+                    last_frame_predicted=tp.last_frame_classified,
+                )
+                if result is None:
+                    tp.last_frame_classified = current_frame
+                    continue
+                prediction, frames, mass = result
+                tp.classified_frames(frames, prediction, mass)
+                logging.info(
+                    "Track %s predicted as %s",
+                    track.track_id,
+                    tp.predicted_tag(),
+                )
+                new_prediction = True
+            self.identify_time += time.time() - id_start
+
+        if self.tracking_events:
+            for track in active_tracks:
+                tp, model_id = self.get_best_prediction(track.track_id)
+                if tp is None:
+                    continue
+                if tp.predicted_tag() != "false-positive":
+                    tp.tracking = True
+                    self.monitored_tracks[track.track_id] = track
+                elif tp.tracking:
+                    tp.tracking = False
+                    tp.normalize_score()
+                    self.service.tracking(
+                        0, track, tp.class_best_score, track.last_bound, False,
+                        tp.last_frame_classified,
+                        self.predictions[model_id].labels, model_id,
+                        track.received_at,
+                    )
+                    self.monitored_tracks.pop(track.track_id, None)
+        return new_prediction
+
+    def get_active_animal_tracks_for_predicting(self):
+        active = self.get_active_tracks()
+        filtered = []
+        least_fp = None
+        current_frame = self.tracker.current_frame
+        for track in active:
+            if self.fp_model is not None:
+                pred, _ = self.get_best_prediction(track.track_id)
+                if pred is not None and pred.predicted_tag() == "false-positive":
+                    conf = pred.class_best_score[pred.best_label_index] / np.sum(
+                        pred.class_best_score
+                    )
+                    if conf >= 0.7:
+                        if least_fp is None or least_fp[0] > conf:
+                            least_fp = (conf, track)
+                        continue
+            pred = None
+            if self.classifier is not None:
+                pred = self.predictions[self.classifier.id].prediction_for(
+                    track.track_id
+                )
+            if pred is not None:
+                classify_every = (
+                    self.PREDICT_EVERY // 2
+                    if len(pred.predictions) < 2
+                    else self.PREDICT_EVERY
+                )
+                if (
+                    pred.last_frame_classified is not None
+                    and current_frame - pred.last_frame_classified < classify_every
+                ):
+                    continue
+            filtered.append(track)
+        if not filtered:
+            return [least_fp[1]] if least_fp else []
+        filtered.sort(key=self._animal_ranking, reverse=True)
+        return filtered[: self.NUM_CONCURRENT_TRACKS]
+
+    def _animal_ranking(self, track):
+        tp, _ = self.get_best_prediction(track.track_id)
+        if tp is None or tp.class_best_score is None or tp.fp_index is None:
+            return 0
+        total = np.sum(tp.class_best_score)
+        if total == 0:
+            return 0
+        return 1 - tp.class_best_score[tp.fp_index] / total
+
+    # ------------------------------------------------------------- loop ----
+
+    def process_frame(self, lepton_frame, received_at=None):
+        received_at = received_at or time.time()
+        start = time.time()
+        if (
+            self.motion_detector.can_record()
+            and not self.classifier_initialised
+            and self.classify
+        ):
+            self.startup_classifier()
+        self.motion_detector.process_frame(lepton_frame)
+        self.process_time += time.time() - start
+
+        if (
+            not self.recorder.recording
+            and self.motion_detector.movement_detected
+            and not getattr(lepton_frame, "ffc_imminent", False)
+            and getattr(lepton_frame, "ffc_status", 0) not in (1, 2)
+        ):
+            r_start = time.time()
+            preview_frames = self.motion_detector.preview_frames()
+            self.recording = self.recorder.start_recording(
+                self.motion_detector.background,
+                preview_frames,
+                self.motion_detector.temp_thresh,
+                received_at,
+            )
+            self.rec_time += time.time() - r_start
+            if self.recording:
+                if self.tracking_events:
+                    self.service.recording(received_at, True)
+                t_start = time.time()
+                self.new_clip(preview_frames, received_at)
+                self.tracking_time += time.time() - t_start
+
+        if self.recorder.recording:
+            t_start = time.time()
+            self._track_frame(lepton_frame, received_at)
+            self.tracking_time += time.time() - t_start
+            r_start = time.time()
+            self.recorder.process_frame(
+                self.motion_detector.movement_detected, lepton_frame, received_at
+            )
+            self.rec_time += time.time() - r_start
+            if self.classify and not self.motion_detector.calibrating:
+                self.identify_last_frame()
+        elif self.tracker.carry is not None and self.tracker.tracks:
+            self.end_clip()
+
+        if not self.recorder.recording and self.recording and self.tracking_events:
+            self.recording = False
+            self.service.recording(received_at, False)
+
+        self.frame_num += 1
+        self.total_time += time.time() - start
+        self.fps_timer.append(time.time() - start)
+        if (
+            self.motion_detector.can_record()
+            and self.frame_num % self.DEBUG_EVERY == 0
+            and self.total_time > 0
+        ):
+            logging.debug(
+                "tracking %.1f%% process %.1f%% identify %.1f%% fp %.1f%% rec %.1f%% fps %.1f",
+                100 * self.tracking_time / self.total_time,
+                100 * self.process_time / self.total_time,
+                100 * self.identify_time / self.total_time,
+                100 * self.fp_identify_time / self.total_time,
+                100 * self.rec_time / self.total_time,
+                1.0 / max(np.mean(self.fps_timer), 1e-9),
+            )
+
+    def end_clip(self):
+        if self.tracker.tracks:
+            logging.info(
+                "Clip ended with %d tracks (%d active)",
+                len(self.tracker.tracks),
+                len(self.tracker.active_tracks),
+            )
+        self.tracker.tracks = {}
+        self.tracker.active_slots = set()
+        self.tracker.carry = None
+
+    def on_recording_stopping(self, filename):
+        """Write metadata sidecar (reference on_recording_stopping:1171-1242)."""
+        meta = {"tracks": []}
+        for track in self.tracker.all_tracks():
+            info = track.get_metadata()
+            preds = []
+            for model_id, registry in self.predictions.items():
+                tp = registry.prediction_for(track.track_id)
+                if tp is None:
+                    continue
+                if not tp.normalized:
+                    tp.normalize_score()
+                pm = tp.get_metadata(registry.thresholds)
+                pm["model_id"] = model_id
+                preds.append(pm)
+            info["predictions"] = preds
+            meta["tracks"].append(info)
+        meta_name = Path(filename).with_suffix(".txt")
+        with open(meta_name, "w") as f:
+            json.dump(meta, f, indent=4, default=_json_default)
+        logging.info("Wrote metadata %s", meta_name)
+
+    def disconnected(self):
+        self.motion_detector.disconnected()
+        self.recorder.force_stop()
+        if self.tracker.carry is not None:
+            self.end_clip()
+
+    @property
+    def res_x(self):
+        return self.headers.res_x
+
+    @property
+    def res_y(self):
+        return self.headers.res_y

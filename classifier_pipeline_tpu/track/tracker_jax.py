@@ -75,6 +75,11 @@ class TrackingParams:
     emit_filtered: bool = False
     # emit the per-frame detection mask (for thumbnails / previews)
     emit_mask: bool = False
+    # streaming mode: the background model lives outside (the motion
+    # detector's WeightedBackground — reference piclassifier shares it with
+    # the tracker via start_tracking(background_alg=...)); each step receives
+    # (background, avg_num, avg_den) as inputs and skips the carry update.
+    external_background: bool = False
 
     @property
     def crop(self):
@@ -263,9 +268,16 @@ def make_scan_step(p: TrackingParams):
         return s2 / n
 
     def step(carry: Carry, inputs):
-        thermal_u16, mean45_int, ffc = inputs  # (H,W) i32, (H,W) f32(int), bool
+        if p.external_background:
+            thermal_u16, ext_bg, ext_avg_num, ext_avg_den, ffc = inputs
+            bg = ext_bg
+            avg_num_in, avg_den_in = ext_avg_num, ext_avg_den
+            mean45_int = ext_bg  # unused in this mode
+        else:
+            thermal_u16, mean45_int, ffc = inputs  # (H,W) i32, (H,W) f32(int), bool
+            bg = carry.background
+            avg_num_in, avg_den_in = carry.avg_num, carry.avg_den
         thermal = thermal_u16.astype(jnp.float32)
-        bg = carry.background
         frame_idx = carry.frame_idx + 1
 
         # ---- filtered (stored channel) -------------------------------------
@@ -274,12 +286,12 @@ def make_scan_step(p: TrackingParams):
         # ---- avg_change: int(round(mean(thermal) - bg_average)) ------------
         s_thermal = jnp.sum(thermal_u16, dtype=jnp.int32)
         n_pix = H * W
-        avg_q = jnp.floor_divide(carry.avg_num, carry.avg_den)
-        avg_r = carry.avg_num - avg_q * carry.avg_den
+        avg_q = jnp.floor_divide(avg_num_in, avg_den_in)
+        avg_r = avg_num_in - avg_q * avg_den_in
         d = s_thermal - avg_q * n_pix
-        exact_int_avg = carry.avg_den == 1
+        exact_int_avg = avg_den_in == 1
         ac_exact = _round_half_even_div(d, n_pix)
-        frac = avg_r.astype(jnp.float32) / carry.avg_den.astype(jnp.float32)
+        frac = avg_r.astype(jnp.float32) / avg_den_in.astype(jnp.float32)
         ac_float = jnp.round(
             s_thermal.astype(jnp.float32) / n_pix
             - (avg_q.astype(jnp.float32) + frac)
@@ -652,23 +664,32 @@ def make_scan_step(p: TrackingParams):
         )
 
         # =====================================================================
-        # background model update (WeightedBackground with mean45 frame)
+        # background model update (WeightedBackground with mean45 frame);
+        # skipped in external-background (streaming) mode
         # =====================================================================
-        frame_i = mean45_int  # already int32-truncated on host, f32 storage
-        wgt = carry.weight
-        descend = (bg < frame_i - wgt) & (interior_mask > 0)
-        bg_int = jnp.where(interior_mask > 0, jnp.where(descend, bg, frame_i), bg)
-        new_wgt = jnp.where(
-            interior_mask > 0, jnp.where(descend, wgt + p.weight_add, 0.0), wgt
-        )
-        changed = jnp.any((bg_int != bg) & (interior_mask > 0))
-        bg_new = jnp.where(changed, replicate_edges(bg_int), bg)
-        # average = int(round(mean(interior))) when changed — exact int path
-        s_bg = jnp.sum(
-            jnp.where(interior_mask > 0, bg_new, 0.0).astype(jnp.int32)
-        )
-        avg_num = jnp.where(changed, _round_half_even_div(s_bg, interior_n), carry.avg_num)
-        avg_den = jnp.where(changed, 1, carry.avg_den)
+        if p.external_background:
+            bg_new = carry.background
+            new_wgt = carry.weight
+            avg_num = carry.avg_num
+            avg_den = carry.avg_den
+        else:
+            frame_i = mean45_int  # already int32-truncated on host, f32 storage
+            wgt = carry.weight
+            descend = (bg < frame_i - wgt) & (interior_mask > 0)
+            bg_int = jnp.where(interior_mask > 0, jnp.where(descend, bg, frame_i), bg)
+            new_wgt = jnp.where(
+                interior_mask > 0, jnp.where(descend, wgt + p.weight_add, 0.0), wgt
+            )
+            changed = jnp.any((bg_int != bg) & (interior_mask > 0))
+            bg_new = jnp.where(changed, replicate_edges(bg_int), bg)
+            # average = int(round(mean(interior))) when changed — exact int path
+            s_bg = jnp.sum(
+                jnp.where(interior_mask > 0, bg_new, 0.0).astype(jnp.int32)
+            )
+            avg_num = jnp.where(
+                changed, _round_half_even_div(s_bg, interior_n), carry.avg_num
+            )
+            avg_den = jnp.where(changed, 1, carry.avg_den)
 
         new_carry = Carry(
             background=bg_new, weight=new_wgt, avg_num=avg_num, avg_den=avg_den,
