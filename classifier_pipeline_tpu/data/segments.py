@@ -46,10 +46,33 @@ class SegmentHeader:
     regions: list
     frame_indices: np.ndarray
     filtered: bool = False
+    station_id: object = None
+    source_file: object = None
+    track_median_mass: float = 0
 
     @property
     def avg_mass(self):
         return self.mass / max(self.frames, 1)
+
+    @property
+    def id(self):
+        return f"{self.clip_id}-{self.track_id}-{int(self.frame_indices[0])}"
+
+    @property
+    def unique_id(self):
+        return self.id
+
+    @property
+    def bin_id(self):
+        return f"{self.clip_id}-{self.track_id}"
+
+    @property
+    def frame_numbers(self):
+        return self.frame_indices
+
+    @property
+    def track_bounds(self):
+        return self.regions
 
 
 def get_segments(
