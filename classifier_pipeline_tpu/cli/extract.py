@@ -22,7 +22,7 @@ from classifier_pipeline_tpu.utils.logs import init_logging
 
 
 def process_one(args):
-    path, config_raw, out_dir, to_stdout = args
+    path, config_raw, out_dir, to_stdout, preview = args
     ex = ClipTrackExtractor(config=config_raw, keep_rows=False)
     res = ex.extract(path)
     if to_stdout:
@@ -33,6 +33,14 @@ def process_one(args):
             out = Path(out_dir) / (Path(path).stem + ".txt")
             out.parent.mkdir(parents=True, exist_ok=True)
         save_metadata(res, out)
+    if preview and preview != "none":
+        from classifier_pipeline_tpu.io.previewer import Previewer
+
+        mp4 = (out or Path(path)).with_suffix("")
+        mp4 = mp4.parent / f"{mp4.name}-tracking.mp4"
+        Previewer(preview_type=preview).export_clip_preview(
+            mp4, res.clip.pixels[~res.clip.is_background], res.tracks
+        )
     return (
         str(path),
         len(res.tracks),
@@ -47,6 +55,10 @@ def main(argv=None):
     parser.add_argument("-c", "--config-file", help="path to classifier.yaml")
     parser.add_argument("-o", "--out-dir", help="output directory for .txt metadata")
     parser.add_argument("--to-stdout", action="store_true", help="print JSON to stdout")
+    parser.add_argument(
+        "-p", "--preview", choices=["none", "raw", "boxes", "classified", "tracking"],
+        default="none", help="export an MP4/GIF preview",
+    )
     parser.add_argument("-v", "--verbose", action="store_true")
     parser.add_argument(
         "-w", "--workers", type=int, default=0,
@@ -74,7 +86,10 @@ def main(argv=None):
         return 1
 
     start = time.time()
-    jobs = [(str(f), config.raw, args.out_dir, args.to_stdout) for f in files]
+    jobs = [
+        (str(f), config.raw, args.out_dir, args.to_stdout, args.preview)
+        for f in files
+    ]
     if args.workers and len(files) > 1:
         with multiprocessing.Pool(args.workers) as pool:
             results = pool.map(process_one, jobs)
