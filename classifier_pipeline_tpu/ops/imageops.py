@@ -283,6 +283,97 @@ def detect_objects(
     return closed, connected_components_stats(closed, max_components)
 
 
+def open_2x1(mask: jax.Array) -> jax.Array:
+    """cv2.morphologyEx(x, MORPH_OPEN, (15,15)) — same tuple quirk as close:
+    the tuple becomes a 2x1 column kernel. open = erode then dilate."""
+    x = mask
+    up = jnp.concatenate([x[:1], x[:-1]], axis=0)
+    e = jnp.minimum(x, up)
+    e_up = jnp.concatenate([e[:1], e[:-1]], axis=0)
+    return jnp.maximum(e, e_up)
+
+
+def detect_objects_ir(
+    filtered_u8: jax.Array, threshold: jax.Array, max_components: int = 16
+) -> tuple[jax.Array, ComponentStats]:
+    """reference detect_objects_ir (imageprocessing.py:185-199): u8 ->
+    MORPH_OPEN (tuple-quirk 2x1) -> threshold -> CCL with stats."""
+    opened = open_2x1(filtered_u8.astype(jnp.int32))
+    th = threshold_binary_u8(opened, threshold)
+    return th, connected_components_stats(th, max_components)
+
+
+def merge_components_ir(
+    comps: ComponentStats, max_gap: float = 40.0, min_mass: float = 40.0,
+    min_size: float = 16.0,
+) -> ComponentStats:
+    """reference IRTrackExtractor.merge_components (irtrackextractor.py:324-389):
+    drop tiny fragments, then merge rectangles whose gap < max_gap or which
+    overlap on both axes — computed as transitive closure over the pairwise
+    adjacency, with merged boxes = union bbox and mass = sum.
+    """
+    K = comps.x.shape[0]
+    keep = comps.valid & (
+        (comps.area > min_mass)
+        | ((comps.w > min_size) & (comps.h > min_size))
+    )
+    x0 = comps.x.astype(jnp.float32)
+    y0 = comps.y.astype(jnp.float32)
+    x1 = (comps.x + comps.w).astype(jnp.float32)
+    y1 = (comps.y + comps.h).astype(jnp.float32)
+    # rectangle gap distance (0 when overlapping)
+    dx = jnp.maximum(
+        jnp.maximum(x0[:, None] - x1[None, :], x0[None, :] - x1[:, None]), 0.0
+    )
+    dy = jnp.maximum(
+        jnp.maximum(y0[:, None] - y1[None, :], y0[None, :] - y1[:, None]), 0.0
+    )
+    dist = jnp.sqrt(dx * dx + dy * dy)
+    overlap_x = (comps.w[:, None] + comps.w[None, :]) > (
+        jnp.maximum(x1[:, None], x1[None, :]) - jnp.minimum(x0[:, None], x0[None, :])
+    )
+    overlap_y = (comps.h[:, None] + comps.h[None, :]) > (
+        jnp.maximum(y1[:, None], y1[None, :]) - jnp.minimum(y0[:, None], y0[None, :])
+    )
+    adj = ((dist < max_gap) | (overlap_x & overlap_y)) & keep[:, None] & keep[None, :]
+    # transitive closure: label = min reachable index, via K rounds of min-prop
+    lab = jnp.where(keep, jnp.arange(K), K)
+
+    def body(_, lab):
+        neigh = jnp.min(jnp.where(adj, lab[None, :], K), axis=1)
+        return jnp.minimum(lab, neigh)
+
+    lab = jax.lax.fori_loop(0, K, body, lab)
+    # aggregate per root
+    roots = jnp.arange(K)
+    is_root = keep & (lab == roots)
+    eq = lab[None, :] == roots[:, None]  # (root, member)
+    big = jnp.float32(1e9)
+    mx0 = jnp.min(jnp.where(eq, x0[None, :], big), axis=1)
+    my0 = jnp.min(jnp.where(eq, y0[None, :], big), axis=1)
+    mx1 = jnp.max(jnp.where(eq, x1[None, :], -big), axis=1)
+    my1 = jnp.max(jnp.where(eq, y1[None, :], -big), axis=1)
+    mass = jnp.sum(jnp.where(eq, comps.area[None, :], 0), axis=1)
+    # centroids: mass-weighted average of member centroids
+    cxs = jnp.sum(jnp.where(eq, comps.cx[None, :] * comps.area[None, :], 0.0), axis=1)
+    cys = jnp.sum(jnp.where(eq, comps.cy[None, :] * comps.area[None, :], 0.0), axis=1)
+    denom = jnp.maximum(mass, 1).astype(jnp.float32)
+    # pack roots to the front preserving order
+    order = jnp.argsort(jnp.where(is_root, 0, 1), stable=True)
+    g = lambda a: a[order]
+    return ComponentStats(
+        x=jnp.where(g(is_root), g(mx0).astype(jnp.int32), 0),
+        y=jnp.where(g(is_root), g(my0).astype(jnp.int32), 0),
+        w=jnp.where(g(is_root), (g(mx1) - g(mx0)).astype(jnp.int32), 0),
+        h=jnp.where(g(is_root), (g(my1) - g(my0)).astype(jnp.int32), 0),
+        area=jnp.where(g(is_root), g(mass), 0),
+        cx=jnp.where(g(is_root), g(cxs) / g(denom), 0.0),
+        cy=jnp.where(g(is_root), g(cys) / g(denom), 0.0),
+        valid=g(is_root),
+        overflow=comps.overflow,
+    )
+
+
 def calculate_mass(filtered_f32: jax.Array, threshold: jax.Array) -> jax.Array:
     """reference region.calculate_mass: float blur then count(> threshold).
 

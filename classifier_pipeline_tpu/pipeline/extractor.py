@@ -96,16 +96,13 @@ class ClipTrackExtractor:
             emit_mask=self.calculate_thumbnails,
         )
 
-    def extract(self, path, process_background=False) -> ExtractResult:
-        start = time.time()
+    def _prepare(self, path, process_background=False):
         path = Path(path)
         clip = load_cptv(path)
         self._clip_id += 1
         header = clip.header
         camera_model = header.model or None
         params = self.params_for(camera_model)
-        th = threshold_for_model(camera_model)
-
         pixels = clip.pixels
         is_bg = clip.is_background
         # frames processed by the tracker (reference skips the embedded
@@ -118,13 +115,53 @@ class ClipTrackExtractor:
         time_on = clip.time_on_ms[proc_mask].astype(np.int64)
         last_ffc = clip.last_ffc_ms[proc_mask].astype(np.int64)
         ffc = (time_on - last_ffc) < FFC_PERIOD_MS_QUIRK
-
         background = pixels[0]  # reference init uses the reader's first frame
+        return clip, camera_model, params, thermal, ffc, background, self._clip_id
+
+    def extract_batch(self, paths, process_background=False) -> list:
+        """Track many clips concurrently (one chip, vmapped scan). Clips are
+        grouped by camera model (static tracking params must match)."""
+        start = time.time()
+        prepped = [self._prepare(p, process_background) for p in paths]
+        by_params = {}
+        for i, pre in enumerate(prepped):
+            by_params.setdefault(pre[2], []).append(i)
+        results: list = [None] * len(paths)
+        for params, idxs in by_params.items():
+            batch = [prepped[i] for i in idxs]
+            scans = tracker_jax.track_clips_batch(
+                [b[3] for b in batch],
+                [b[4] for b in batch],
+                params,
+                backgrounds=[b[5] for b in batch],
+            )
+            for i, (rows, carry) in zip(idxs, scans):
+                clip, camera_model, params_i, thermal, ffc, _, clip_id = prepped[i]
+                results[i] = self._finalize(
+                    Path(paths[i]), clip, camera_model, params_i, thermal,
+                    rows, carry, start, clip_id=clip_id,
+                )
+        return results
+
+    def extract(self, path, process_background=False) -> ExtractResult:
+        start = time.time()
+        clip, camera_model, params, thermal, ffc, background, clip_id = (
+            self._prepare(path, process_background)
+        )
         rows, carry = tracker_jax.track_clip(thermal, ffc, params, background)
         # one batched device->host fetch (the TPU may be behind a network
         # tunnel; per-leaf lazy transfers are expensive)
         rows = jax.device_get(rows)
         carry = jax.device_get(carry)
+        return self._finalize(
+            Path(path), clip, camera_model, params, thermal, rows, carry,
+            start, clip_id=clip_id,
+        )
+
+    def _finalize(self, path, clip, camera_model, params, thermal, rows,
+                  carry, start, clip_id=None):
+        header = clip.header
+        th = threshold_for_model(camera_model)
 
         tracks = postprocess.assemble_tracks(rows, fps=float(header.fps or 9))
         filter_cfg = dict(
@@ -135,7 +172,8 @@ class ClipTrackExtractor:
         good, filtered = postprocess.filter_tracks(tracks, params, filter_cfg)
 
         meta = self.build_metadata(
-            path, clip, camera_model, th, good, thermal.shape[0]
+            path, clip, camera_model, th, good, thermal.shape[0],
+            clip_id=clip_id,
         )
         if self.calculate_thumbnails:
             self._add_thumbnails(meta, thermal, rows, good, th)
@@ -190,13 +228,14 @@ class ClipTrackExtractor:
                 thermal, region_history
             )
 
-    def build_metadata(self, path, clip, camera_model, th, tracks, n_frames):
+    def build_metadata(self, path, clip, camera_model, th, tracks, n_frames,
+                       clip_id=None):
         header = clip.header
         meta = {}
         if camera_model:
             meta["camera_model"] = camera_model
         meta["background_thresh"] = th["background_thresh"]
-        meta["id"] = self._clip_id
+        meta["id"] = clip_id if clip_id is not None else self._clip_id
         start_dt = datetime.datetime.fromtimestamp(
             header.timestamp_us / 1_000_000, tz=datetime.timezone.utc
         ).astimezone(LOCAL_TZ)

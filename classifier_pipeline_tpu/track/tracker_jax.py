@@ -80,6 +80,12 @@ class TrackingParams:
     # the tracker via start_tracking(background_alg=...)); each step receives
     # (background, avg_num, avg_den) as inputs and skips the carry update.
     external_background: bool = False
+    # "thermal" (CPTV) or "ir" (video + MOG foreground masks). IR detects on
+    # a (possibly downscaled) foreground mask and skips the thermal filtered
+    # pipeline (reference irtrackextractor.py:391-470).
+    mode: str = "thermal"
+    detect_scale: float = 1.0  # IR detection downscale (0.25 on the Pi)
+    ir_merge_max_gap: float = 40.0
 
     @property
     def crop(self):
@@ -268,7 +274,12 @@ def make_scan_step(p: TrackingParams):
         return s2 / n
 
     def step(carry: Carry, inputs):
-        if p.external_background:
+        if p.mode == "ir":
+            thermal_u16, fg_mask, ffc = inputs  # gray (H,W) i32, scaled mask
+            bg = carry.background  # unused for detection in IR
+            avg_num_in, avg_den_in = carry.avg_num, carry.avg_den
+            mean45_int = bg
+        elif p.external_background:
             thermal_u16, ext_bg, ext_avg_num, ext_avg_den, ffc = inputs
             bg = ext_bg
             avg_num_in, avg_den_in = ext_avg_num, ext_avg_den
@@ -280,51 +291,79 @@ def make_scan_step(p: TrackingParams):
         thermal = thermal_u16.astype(jnp.float32)
         frame_idx = carry.frame_idx + 1
 
-        # ---- filtered (stored channel) -------------------------------------
-        filtered_raw = thermal - bg
-
-        # ---- avg_change: int(round(mean(thermal) - bg_average)) ------------
-        s_thermal = jnp.sum(thermal_u16, dtype=jnp.int32)
-        n_pix = H * W
-        avg_q = jnp.floor_divide(avg_num_in, avg_den_in)
-        avg_r = avg_num_in - avg_q * avg_den_in
-        d = s_thermal - avg_q * n_pix
-        exact_int_avg = avg_den_in == 1
-        ac_exact = _round_half_even_div(d, n_pix)
-        frac = avg_r.astype(jnp.float32) / avg_den_in.astype(jnp.float32)
-        ac_float = jnp.round(
-            s_thermal.astype(jnp.float32) / n_pix
-            - (avg_q.astype(jnp.float32) + frac)
-        ).astype(jnp.int32)
-        avg_change = jnp.where(exact_int_avg, ac_exact, ac_float)
-
-        # ---- object-filtered frame + mapped threshold ----------------------
-        x = jnp.clip(thermal - bg - avg_change.astype(jnp.float32), 0.0, None)
-        normed, mn, mx = normalize255(x)
-        u8 = normed.astype(jnp.int32)  # np.uint8 cast truncation
-        if p.denoise:
-            obj = ops.nl_means_denoise_u8(u8)
+        if p.mode == "ir":
+            # filtered channel := foreground mask; detect on the scaled mask
+            filtered_raw = fg_mask.astype(jnp.float32)
+            mapped_thresh = jnp.float32(0.0)
+            det_mask, comps = ops.detect_objects_ir(fg_mask, mapped_thresh, KR)
+            comps = ops.merge_components_ir(
+                comps,
+                max_gap=p.ir_merge_max_gap * p.detect_scale
+                if p.detect_scale != 1.0
+                else p.ir_merge_max_gap,
+                min_mass=40.0 * p.detect_scale if p.detect_scale != 1.0 else 40.0,
+                min_size=int(16 * p.detect_scale) if p.detect_scale != 1.0 else 16.0,
+            )
+            # variance uses delta of the normalized gray frame (reference
+            # _get_regions_of_interest IR branch)
+            cur_norm, _, _ = normalize255(thermal)
+            prev_norm, _, _ = normalize255(carry.prev_filtered)
+            delta_filtered = jnp.abs(cur_norm - prev_norm)
         else:
-            obj = u8
-        mapped_thresh = jnp.where(
-            mx == mn,
-            jnp.float32(p.background_thresh),
-            jnp.float32(p.background_thresh) / (mx - mn) * 255.0,
-        )
+            # ---- filtered (stored channel) ----------------------------------
+            filtered_raw = thermal - bg
 
-        # ---- detect objects -------------------------------------------------
-        det_mask, comps = ops.detect_objects(obj, mapped_thresh, KR)
+            # ---- avg_change: int(round(mean(thermal) - bg_average)) --------
+            s_thermal = jnp.sum(thermal_u16, dtype=jnp.int32)
+            n_pix = H * W
+            avg_q = jnp.floor_divide(avg_num_in, avg_den_in)
+            avg_r = avg_num_in - avg_q * avg_den_in
+            d = s_thermal - avg_q * n_pix
+            exact_int_avg = avg_den_in == 1
+            ac_exact = _round_half_even_div(d, n_pix)
+            frac = avg_r.astype(jnp.float32) / avg_den_in.astype(jnp.float32)
+            ac_float = jnp.round(
+                s_thermal.astype(jnp.float32) / n_pix
+                - (avg_q.astype(jnp.float32) + frac)
+            ).astype(jnp.int32)
+            avg_change = jnp.where(exact_int_avg, ac_exact, ac_float)
 
-        # ---- delta frame for pixel variance --------------------------------
-        cur_norm, _, _ = normalize255(filtered_raw)
-        prev_norm, _, _ = normalize255(carry.prev_filtered)
-        delta_filtered = jnp.abs(cur_norm - prev_norm)
+            # ---- object-filtered frame + mapped threshold ------------------
+            x = jnp.clip(thermal - bg - avg_change.astype(jnp.float32), 0.0, None)
+            normed, mn, mx = normalize255(x)
+            u8 = normed.astype(jnp.int32)  # np.uint8 cast truncation
+            if p.denoise:
+                obj = ops.nl_means_denoise_u8(u8)
+            else:
+                obj = u8
+            mapped_thresh = jnp.where(
+                mx == mn,
+                jnp.float32(p.background_thresh),
+                jnp.float32(p.background_thresh) / (mx - mn) * 255.0,
+            )
+
+            # ---- detect objects ---------------------------------------------
+            det_mask, comps = ops.detect_objects(obj, mapped_thresh, KR)
+
+            # ---- delta frame for pixel variance -----------------------------
+            cur_norm, _, _ = normalize255(filtered_raw)
+            prev_norm, _, _ = normalize255(carry.prev_filtered)
+            delta_filtered = jnp.abs(cur_norm - prev_norm)
 
         # ---- region build ---------------------------------------------------
         rv = comps.valid
         rx, ry, rw, rh = comps.x, comps.y, comps.w, comps.h
         rmass = comps.area
         rcx, rcy = comps.cx, comps.cy
+        if p.mode == "ir" and p.detect_scale != 1.0:
+            # Region.rescale(1/scale): int-truncating coordinate upscale,
+            # mass scaled by factor^2 (region.py:44-50; centroid untouched)
+            inv = 1.0 / p.detect_scale
+            rx = jnp.trunc(rx.astype(jnp.float32) * inv).astype(jnp.int32)
+            ry = jnp.trunc(ry.astype(jnp.float32) * inv).astype(jnp.int32)
+            rw = jnp.trunc(rw.astype(jnp.float32) * inv).astype(jnp.int32)
+            rh = jnp.trunc(rh.astype(jnp.float32) * inv).astype(jnp.int32)
+            rmass = (rmass.astype(jnp.float32) * inv * inv).astype(jnp.int32)
         if p.min_dimension > 0:
             rv = rv & (rw >= p.min_dimension) & (rh >= p.min_dimension)
         variance = jnp.where(
@@ -693,7 +732,10 @@ def make_scan_step(p: TrackingParams):
 
         new_carry = Carry(
             background=bg_new, weight=new_wgt, avg_num=avg_num, avg_den=avg_den,
-            prev_filtered=filtered_raw, has_prev=jnp.bool_(True),
+            # IR variance compares normalized gray frames, so the carry holds
+            # the gray; thermal mode carries the filtered channel
+            prev_filtered=thermal if p.mode == "ir" else filtered_raw,
+            has_prev=jnp.bool_(True),
             slots=out_slots, next_id=jnp.where(ffc, carry.next_id, next_id),
             frame_idx=frame_idx,
         )
@@ -754,6 +796,71 @@ import functools
 def _track_scan(params: TrackingParams, carry: Carry, thermal, mean45, ffc):
     step = make_scan_step(params)
     return jax.lax.scan(step, carry, (thermal, mean45, ffc))
+
+
+@functools.partial(jax.jit, static_argnames=("params",))
+def _track_scan_batch(params: TrackingParams, carry: Carry, thermal, mean45, ffc):
+    """Batched variant: scan over time of a vmapped step. All per-clip state
+    vectorizes (the CCL while_loop runs until every clip's labels converge).
+    This is the throughput path: one chip tracks B clips concurrently."""
+    step = make_scan_step(params)
+    vstep = jax.vmap(step)
+    return jax.lax.scan(
+        lambda c, x: vstep(c, x),
+        carry,
+        (
+            thermal.transpose(1, 0, 2, 3),
+            mean45.transpose(1, 0, 2, 3),
+            ffc.transpose(1, 0),
+        ),
+    )
+
+
+def _round_up(n, m):
+    return ((n + m - 1) // m) * m
+
+
+def track_clips_batch(
+    thermals: list,
+    ffcs: list,
+    params: TrackingParams,
+    backgrounds: list | None = None,
+    bucket: int = 32,
+):
+    """Track B clips concurrently on one chip.
+
+    Clips are padded to a common frame-count bucket with FFC-flagged dead
+    frames (FFC frames emit no rows and drop tracks, so padding cannot
+    create or extend tracks). Returns a list of per-clip (rows, carry) with
+    rows truncated back to each clip's real length.
+    """
+    B = len(thermals)
+    T = _round_up(max(t.shape[0] for t in thermals), bucket)
+    H, W = params.res_y, params.res_x
+    th = np.zeros((B, T, H, W), np.int32)
+    m45 = np.zeros((B, T, H, W), np.float32)
+    ffc_pad = np.ones((B, T), bool)  # padding = FFC (inert)
+    carries = []
+    for i, thermal in enumerate(thermals):
+        t = thermal.shape[0]
+        th[i, :t] = thermal.astype(np.int32)
+        m45[i, :t] = running_mean45_int(thermal)
+        ffc_pad[i, :t] = ffcs[i]
+        bg = backgrounds[i] if backgrounds is not None else thermal[0]
+        carries.append(init_carry(params, bg))
+    carry0 = jax.tree.map(lambda *xs: jnp.stack(xs), *carries)
+    carry, rows = _track_scan_batch(
+        params, carry0, jnp.asarray(th), jnp.asarray(m45), jnp.asarray(ffc_pad)
+    )
+    rows = jax.device_get(rows)
+    carry = jax.device_get(carry)
+    out = []
+    for i, thermal in enumerate(thermals):
+        t = thermal.shape[0]
+        clip_rows = jax.tree.map(lambda a: a[:t, i], rows)
+        clip_carry = jax.tree.map(lambda a: a[i], carry)
+        out.append((clip_rows, clip_carry))
+    return out
 
 
 def track_clip(
