@@ -1,0 +1,63 @@
+"""Small shared utilities (reference src/ml_tools/tools.py)."""
+
+from __future__ import annotations
+
+import datetime
+import json
+from pathlib import Path
+
+import numpy as np
+
+
+def eucl_distance_sq(first, second):
+    x = first[0] - second[0]
+    y = first[1] - second[1]
+    return x * x + y * y
+
+
+def calculate_variance(filtered, prev_filtered):
+    if prev_filtered is None:
+        return np.var(filtered)
+    return np.var(filtered - prev_filtered)
+
+
+class CustomJSONEncoder(json.JSONEncoder):
+    """reference tools.CustomJSONEncoder: numpy + datetime + Path safe."""
+
+    def default(self, obj):
+        if isinstance(obj, (np.integer,)):
+            return int(obj)
+        if isinstance(obj, (np.floating,)):
+            return float(obj)
+        if isinstance(obj, np.ndarray):
+            return obj.tolist()
+        if isinstance(obj, (datetime.datetime, datetime.date, datetime.time)):
+            return obj.isoformat()
+        if isinstance(obj, datetime.timedelta):
+            return obj.total_seconds()
+        if isinstance(obj, Path):
+            return str(obj)
+        if hasattr(obj, "meta_dict"):
+            return obj.meta_dict()
+        if hasattr(obj, "name") and hasattr(obj, "value"):  # enums
+            return obj.name
+        return super().default(obj)
+
+
+def frame_to_jpg(frame, out_path, t_min=None, t_max=None):
+    """Save a thermal frame as a heat-mapped image."""
+    from PIL import Image
+
+    from classifier_pipeline_tpu.io.previewer import render_thermal
+
+    rgb = render_thermal(np.asarray(frame), t_min, t_max, scale=1)
+    Image.fromarray(rgb).save(out_path)
+    return out_path
+
+
+def get_timezone_str(lat, lng):
+    """Rough timezone from longitude (reference uses timezonefinder; NZ
+    deployments resolve to Pacific/Auckland)."""
+    if 166 <= lng <= 179 and -48 <= lat <= -34:
+        return "Pacific/Auckland"
+    return "UTC"
