@@ -777,16 +777,17 @@ def init_carry(p: TrackingParams, first_frame: np.ndarray) -> Carry:
 def running_mean45_int(thermal: np.ndarray, window: int = 45) -> np.ndarray:
     """Host precompute of np.int32(mean of trailing <=45 frames), float64 math
     (reference cliptrackextractor.py:170-176 uses np.mean over the frame
-    buffer's last 45 frames, then WeightedBackground int32-truncates)."""
+    buffer's last 45 frames, then WeightedBackground int32-truncates).
+    Fully vectorized: one cumsum + one strided difference."""
     T = thermal.shape[0]
     cs = np.cumsum(thermal.astype(np.float64), axis=0)
-    out = np.empty_like(thermal, dtype=np.float32)
-    for t in range(T):
-        lo = max(0, t - window + 1)
-        n = t - lo + 1
-        s = cs[t] - (cs[lo - 1] if lo > 0 else 0)
-        out[t] = np.int32(s / n)
-    return out
+    sums = cs.copy()
+    if T > window:
+        sums[window:] = cs[window:] - cs[:-window]
+    counts = np.minimum(np.arange(1, T + 1), window).astype(np.float64)
+    means = sums / counts[:, None, None]
+    # np.int32() truncates toward zero
+    return means.astype(np.int32).astype(np.float32)
 
 
 import functools
