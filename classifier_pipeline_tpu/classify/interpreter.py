@@ -112,7 +112,7 @@ class ClipContext:
     def __init__(self, thermal: np.ndarray, filtered: np.ndarray, ffc_frames,
                  frame_numbers=None):
         self.thermal = jnp.asarray(thermal.astype(np.float32))
-        self.filtered = jnp.asarray(filtered.astype(np.float32))
+        self.filtered = jnp.asarray(filtered).astype(jnp.float32)
         self._medians_np = np.median(thermal, axis=(1, 2))
         self.medians = jnp.asarray(self._medians_np.astype(np.float32))
         self._thermal_np = thermal
@@ -202,6 +202,29 @@ class FlaxInterpreter:
         self._predict_jit = jax.jit(
             lambda v, x: self.model.apply(v, x, train=False)
         )
+        # fused per-track path: diff limits + preprocess + tile + forward in
+        # ONE device program so a track costs a single host<->device round
+        # trip (the TPU may sit behind a high-latency tunnel)
+        sw = self.params.square_width
+        fs = self.params.frame_size
+
+        @functools.partial(jax.jit, static_argnames=("clip_at_zero", "diff_norm"))
+        def fused(variables, thermal, filtered, medians, reg_arr, valid,
+                  track_regs, track_valid, seg_idx, clip_at_zero, diff_norm):
+            if diff_norm:
+                limits = preprocess_jax.filtered_limits_for_track(
+                    filtered, track_regs, track_valid
+                )
+            else:
+                limits = jnp.asarray([jnp.nan, jnp.nan], jnp.float32)
+            frames = preprocess_jax.preprocess_track_frames(
+                thermal, filtered, reg_arr, valid, medians, limits,
+                frame_size=fs, clip_at_zero=clip_at_zero,
+            )
+            tiles = preprocess_jax.tile_segments(frames.tiles, seg_idx, sw)
+            return self.model.apply(variables, tiles, train=False)
+
+        self._fused_classify = fused
 
     def _init_variables(self):
         size = self.params.frame_size * self.params.square_width
@@ -285,15 +308,15 @@ class FlaxInterpreter:
         )
         return segments
 
-    def preprocess_segments(self, clip_ctx, track, segments):
-        # unique regions by frame number (reference preprocess_segments)
+    def _segment_tensors(self, clip_ctx, track, segments):
+        """Build the fixed-shape index tensors for a track's segments."""
         unique = {}
         for seg in segments:
             for r in seg.regions:
                 unique.setdefault(r.frame_number, r)
         regions = sorted(unique.values(), key=lambda r: r.frame_number)
         if not regions:
-            return None, None, None
+            return None
         clip_at_zero = clip_ctx.clip_thermals_at_zero(regions)
         F = len(regions)
         Fb = _next_bucket(F, 8)
@@ -304,25 +327,36 @@ class FlaxInterpreter:
             reg_arr[i] = (clip_ctx.index_of(r.frame_number), r.x, r.y, r.width, r.height)
             valid[i] = True
             frame_to_pos[r.frame_number] = i
+        track_regions = [
+            b for b in track.bounds
+            if not b.blank and b.width > 0 and b.height > 0
+            and clip_ctx.has_frame(b.frame_number)
+        ]
+        Tb = _next_bucket(len(track_regions), 8)
+        tr = np.zeros((Tb, 5), np.int32)
+        tv = np.zeros((Tb,), bool)
+        for i, r in enumerate(track_regions):
+            tr[i] = (clip_ctx.index_of(r.frame_number), r.x, r.y, r.width, r.height)
+            tv[i] = True
+        S = len(segments)
+        Sb = _next_bucket(S)
+        sw2 = self.params.square_width**2
+        seg_idx = np.zeros((Sb, sw2), np.int32)
+        for i, seg in enumerate(segments):
+            seg_idx[i] = [frame_to_pos[f] for f in seg.frame_indices]
+        return reg_arr, valid, tr, tv, seg_idx, clip_at_zero, S
+
+    def preprocess_segments(self, clip_ctx, track, segments):
+        tensors = self._segment_tensors(clip_ctx, track, segments)
+        if tensors is None:
+            return None, None, None
+        reg_arr, valid, tr, tv, seg_idx, clip_at_zero, S = tensors
         if self.params.diff_norm:
-            # limits over the whole track's non-blank regions
-            track_regions = [
-                b for b in track.bounds
-                if not b.blank and b.width > 0 and b.height > 0
-                and clip_ctx.has_frame(b.frame_number)
-            ]
-            Tb = _next_bucket(len(track_regions), 8)
-            tr = np.zeros((Tb, 5), np.int32)
-            tv = np.zeros((Tb,), bool)
-            for i, r in enumerate(track_regions):
-                tr[i] = (clip_ctx.index_of(r.frame_number), r.x, r.y, r.width, r.height)
-                tv[i] = True
             limits = preprocess_jax.filtered_limits_for_track(
                 clip_ctx.filtered, jnp.asarray(tr), jnp.asarray(tv)
             )
         else:
             limits = jnp.asarray([np.nan, np.nan], np.float32)
-
         frames = preprocess_jax.preprocess_track_frames(
             clip_ctx.thermal,
             clip_ctx.filtered,
@@ -333,18 +367,35 @@ class FlaxInterpreter:
             frame_size=self.params.frame_size,
             clip_at_zero=clip_at_zero,
         )
-        S = len(segments)
-        Sb = _next_bucket(S)
-        sw2 = self.params.square_width**2
-        seg_idx = np.zeros((Sb, sw2), np.int32)
-        for i, seg in enumerate(segments):
-            seg_idx[i] = [frame_to_pos[f] for f in seg.frame_indices]
         tiles = preprocess_jax.tile_segments(
             frames.tiles, jnp.asarray(seg_idx), self.params.square_width
         )
         preprocessed = np.asarray(tiles)[:S]
         masses = [seg.mass for seg in segments]
         return [list(s.frame_indices) for s in segments], preprocessed, masses
+
+    def classify_track_fused(self, clip_ctx, track, segments):
+        """One device round trip per track: preprocess + forward fused."""
+        tensors = self._segment_tensors(clip_ctx, track, segments)
+        if tensors is None:
+            return None, None, None
+        reg_arr, valid, tr, tv, seg_idx, clip_at_zero, S = tensors
+        out = self._fused_classify(
+            self.variables,
+            clip_ctx.thermal,
+            clip_ctx.filtered,
+            clip_ctx.medians,
+            jnp.asarray(reg_arr),
+            jnp.asarray(valid),
+            jnp.asarray(tr),
+            jnp.asarray(tv),
+            jnp.asarray(seg_idx),
+            clip_at_zero=clip_at_zero,
+            diff_norm=bool(self.params.diff_norm),
+        )
+        output = np.asarray(out)[:S]
+        masses = [seg.mass for seg in segments]
+        return [list(s.frame_indices) for s in segments], output, masses
 
     def predict_recent_frames(self, clip_ctx, track, **args):
         """Streaming cascade entry (reference interpreter.py:103-109):
@@ -372,12 +423,19 @@ class FlaxInterpreter:
         if not segments:
             logging.info("Skipping track %s", track.track_id)
             return None
-        frames, preprocessed, masses = self.preprocess_segments(
-            clip_ctx, track, segments
-        )
-        if preprocessed is None or len(preprocessed) == 0:
-            return None
-        output = self.predict(preprocessed)
+        if self.run_over_network:
+            frames, preprocessed, masses = self.preprocess_segments(
+                clip_ctx, track, segments
+            )
+            if preprocessed is None or len(preprocessed) == 0:
+                return None
+            output = self.predict(preprocessed)
+        else:
+            frames, output, masses = self.classify_track_fused(
+                clip_ctx, track, segments
+            )
+            if output is None or len(output) == 0:
+                return None
         track_pred = self.track_prediction_from_raw(
             track.track_id, frames, output, masses
         )

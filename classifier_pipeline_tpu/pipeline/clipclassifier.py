@@ -53,8 +53,8 @@ class ClipClassifier:
         result = extractor.extract(filename)
 
         thermal = result.clip.pixels[~result.clip.is_background]
-        filtered = np.asarray(result.rows.filtered)
-        ctx = ClipContext(thermal, filtered, self._ffc_frames(result))
+        # rows.filtered stays on device; ClipContext consumes it there
+        ctx = ClipContext(thermal, result.rows.filtered, self._ffc_frames(result))
 
         predictions_per_model = {}
         for model in self.models:

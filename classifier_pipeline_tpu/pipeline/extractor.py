@@ -148,11 +148,8 @@ class ClipTrackExtractor:
         clip, camera_model, params, thermal, ffc, background, clip_id = (
             self._prepare(path, process_background)
         )
+        # track_clip fetches rows to host except the device-resident filtered
         rows, carry = tracker_jax.track_clip(thermal, ffc, params, background)
-        # one batched device->host fetch (the TPU may be behind a network
-        # tunnel; per-leaf lazy transfers are expensive)
-        rows = jax.device_get(rows)
-        carry = jax.device_get(carry)
         return self._finalize(
             Path(path), clip, camera_model, params, thermal, rows, carry,
             start, clip_id=clip_id,
@@ -199,7 +196,7 @@ class ClipTrackExtractor:
         """reference trackextractor.get_metadata:205-230 thumbnail wiring."""
         from classifier_pipeline_tpu.classify import thumbnail
 
-        masks = np.asarray(rows.mask)
+        masks = tracker_jax.unpack_mask(rows.mask)
         for i, track in enumerate(tracks):
             meta["tracks"][i]["thumbnail"] = thumbnail.thumbnail_metadata(
                 thermal, masks, track, th["background_thresh"]

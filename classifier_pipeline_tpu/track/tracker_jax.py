@@ -159,6 +159,24 @@ class FrameRows(NamedTuple):
     mask: jax.Array  # (H, W) u8 detection mask when params.emit_mask else (1, 1)
 
 
+def _pack_mask(mask: jax.Array) -> jax.Array:
+    """Pack a 0/255 (H, W) mask into bits, MSB-first per byte (numpy
+    unpackbits convention). W must be a multiple of 8 (160 is)."""
+    H, W = mask.shape
+    if W % 8:
+        mask = jnp.pad(mask, ((0, 0), (0, (-W) % 8)))
+        W = mask.shape[1]
+    bits = (mask > 0).astype(jnp.uint8).reshape(H, W // 8, 8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return jnp.sum(bits * weights[None, None, :], axis=2).astype(jnp.uint8)
+
+
+def unpack_mask(packed: np.ndarray) -> np.ndarray:
+    """Host-side inverse of _pack_mask -> (T..., H, W) uint8 0/255 array."""
+    bits = np.unpackbits(np.asarray(packed, np.uint8), axis=-1)
+    return bits * np.uint8(255)
+
+
 def _round_half_even_div(d: jax.Array, n) -> jax.Array:
     """Python round(d/n) for int32 d, positive int n — exact banker's."""
     d = d.astype(jnp.int32)
@@ -697,7 +715,9 @@ def make_scan_step(p: TrackingParams):
             threshold=mapped_thresh,
             overflow=comps.overflow,
             filtered=filtered_raw if p.emit_filtered else jnp.zeros((1, 1), jnp.float32),
-            mask=det_mask.astype(jnp.uint8)
+            # mask is transferred to host for thumbnails: bit-pack it 8x so
+            # the device->host copy stays small
+            mask=_pack_mask(det_mask)
             if p.emit_mask
             else jnp.zeros((1, 1), jnp.uint8),
         )
@@ -853,7 +873,7 @@ def track_clips_batch(
     carry, rows = _track_scan_batch(
         params, carry0, jnp.asarray(th), jnp.asarray(m45), jnp.asarray(ffc_pad)
     )
-    rows = jax.device_get(rows)
+    rows = fetch_rows(rows)
     carry = jax.device_get(carry)
     out = []
     for i, thermal in enumerate(thermals):
@@ -862,6 +882,15 @@ def track_clips_batch(
         clip_carry = jax.tree.map(lambda a: a[i], carry)
         out.append((clip_rows, clip_carry))
     return out
+
+
+def fetch_rows(rows: FrameRows) -> FrameRows:
+    """Device->host fetch of scan outputs, EXCEPT the full-frame ``filtered``
+    channel, which stays on device: its only consumer is the (device-side)
+    classification preprocessing, and when the TPU sits behind a network
+    tunnel a (T, H, W) float32 transfer dominates the whole pipeline."""
+    host = jax.device_get(rows._replace(filtered=jnp.zeros(())))
+    return host._replace(filtered=rows.filtered)
 
 
 def track_clip(
@@ -892,4 +921,4 @@ def track_clip(
         jnp.asarray(mean45),
         jnp.asarray(ffc.astype(bool)),
     )
-    return rows, carry
+    return fetch_rows(rows), jax.device_get(carry)
