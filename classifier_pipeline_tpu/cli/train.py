@@ -19,6 +19,9 @@ def main(argv=None):
     parser.add_argument("--depth", type=int, default=22)
     parser.add_argument("--k", type=int, default=4)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("-w", "--weights", help="msgpack weights to resume from")
+    parser.add_argument("--fine-tune", action="store_true",
+                        help="reinitialize the prediction head")
     parser.add_argument("--grid-search", action="store_true")
     parser.add_argument("--platform", choices=["tpu", "cpu", "default"], default="default")
     args = parser.parse_args(argv)
@@ -53,7 +56,7 @@ def main(argv=None):
         return 0
     trainer = Trainer(
         args.name, args.data_dir, args.out_dir, args.model_name, hp,
-        seed=args.seed,
+        seed=args.seed, weights=args.weights, fine_tune=args.fine_tune,
     )
     trainer.train(
         epochs=args.epochs,

@@ -35,7 +35,7 @@ REDUCE_LR_FACTOR = 0.5
 
 class Trainer:
     def __init__(self, run_name, data_dir, out_dir, model_name="wr-resnet",
-                 hyperparams=None, seed=0):
+                 hyperparams=None, seed=0, weights=None, fine_tune=False):
         self.run_name = run_name
         self.data_dir = Path(data_dir)
         self.out_dir = Path(out_dir)
@@ -43,6 +43,8 @@ class Trainer:
         self.hp = {"model_name": model_name}
         self.hp.update(hyperparams or {})
         self.seed = seed
+        self.weights = weights  # msgpack to resume/fine-tune from
+        self.fine_tune = fine_tune  # reinit the prediction head
         meta = json.loads((self.data_dir / "training-meta.json").read_text())
         self.source_labels = meta["labels"]
         self.labels = list(meta["labels"])
@@ -84,6 +86,25 @@ class Trainer:
         state = steps.create_train_state(
             model, jax.random.PRNGKey(self.seed), (1, size, size, 2), tx
         )
+        if self.weights:
+            # resume / fine-tune (reference kerasmodel --weights +
+            # adjust_final_layer:380-431)
+            loaded = flax.serialization.from_bytes(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                Path(self.weights).read_bytes(),
+            )
+            params = loaded["params"]
+            if self.fine_tune:
+                params = dict(params)
+                params["prediction"] = state.params["prediction"]
+                logging.info("fine-tune: reinitialized prediction head")
+            state = steps.TrainState(
+                params=params,
+                batch_stats=loaded.get("batch_stats", state.batch_stats),
+                opt_state=tx.init(params),
+                step=state.step,
+            )
+            logging.info("loaded weights from %s", self.weights)
         train_step = jax.jit(steps.make_train_step(model, tx, self.multi_label))
         eval_step = jax.jit(steps.make_eval_step(model, self.multi_label))
 

@@ -1,0 +1,124 @@
+"""Dataset generation + training component tests."""
+
+import json
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tagged_corpus(tmp_path_factory, possum_cptv, possum_meta):
+    d = tmp_path_factory.mktemp("corpus")
+    shutil.copy(possum_cptv, d / "possum.cptv")
+    meta = json.loads(json.dumps(possum_meta))
+    meta["id"] = 201
+    for t in meta["tracks"]:
+        t["tags"] = [
+            {"what": "possum", "confidence": 0.9, "automatic": False,
+             "path": "all.mammal.possum"}
+        ]
+    (d / "possum.txt").write_text(json.dumps(meta))
+    return d
+
+
+def test_rawdb_load(tagged_corpus):
+    from classifier_pipeline_tpu.data.rawdb import RawDatabase
+
+    db = RawDatabase(tagged_corpus / "possum.cptv")
+    db.load_frames()
+    assert db.model == "lepton3"
+    thermal, filtered = db.frames
+    assert thermal.shape == (160, 120, 160)
+    header = db.get_clip_tracks()
+    assert len(header.tracks) == 2
+    assert header.tracks[0].label == "possum"
+    assert header.tracks[0].median_mass > 0
+
+
+def test_build_and_records(tagged_corpus, tmp_path):
+    from classifier_pipeline_tpu.cli import build
+    from classifier_pipeline_tpu.data import tfrecords as tfr
+
+    out = tmp_path / "records"
+    rc = build.main([str(tagged_corpus), "-o", str(out), "--seed", "3",
+                     "--num-shards", "2"])
+    assert rc == 0
+    meta = json.loads((out / "training-meta.json").read_text())
+    assert "possum" in meta["labels"]
+    total = sum(sum(c.values()) for c in meta["counts"].values())
+    assert total >= 1
+    recs = []
+    for split in ("train", "validation", "test"):
+        for f in (out / split).glob("*.tfrecord"):
+            recs.extend(tfr.read_records(f))
+    assert len(recs) >= 1
+    ex = tfr.decode_example(recs[0])
+    assert ex["image/class/text"] == [b"possum"]
+    th = ex["image/thermalencoded"].reshape(25, 45, 45)
+    assert 0 <= th.min() and th.max() <= 255
+
+
+def test_loader_augment(tmp_path):
+    import jax
+
+    from classifier_pipeline_tpu.data.loader import augment_and_tile
+
+    images = np.random.default_rng(0).uniform(
+        0, 255, (2, 25, 45, 45, 2)
+    ).astype(np.float32)
+    out = augment_and_tile(images, jax.random.PRNGKey(0), augment=True)
+    assert out.shape == (2, 160, 160, 2)
+    assert float(out.min()) >= 0 and float(out.max()) <= 255
+    # no-augment path is deterministic crop+tile
+    a = augment_and_tile(images, jax.random.PRNGKey(0), augment=False)
+    b = augment_and_tile(images, jax.random.PRNGKey(1), augment=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # tiling layout: first tile equals crop of frame 0
+    np.testing.assert_allclose(
+        np.asarray(a)[0, :32, :32, 0], images[0, 0, 7:39, 7:39, 0]
+    )
+
+
+def test_forest_model_roundtrip(tmp_path):
+    from sklearn.ensemble import RandomForestClassifier
+
+    from classifier_pipeline_tpu.models.forest import Forest
+
+    rng = np.random.default_rng(0)
+    X = rng.normal(size=(200, 11))
+    y = (X[:, 0] + X[:, 3] > 0).astype(int)
+    skl = RandomForestClassifier(n_estimators=10, random_state=0).fit(X, y)
+    forest = Forest.convert_sklearn(skl)
+    ours = forest.predict_proba(X[:20])
+    theirs = skl.predict_proba(X[:20])
+    np.testing.assert_allclose(ours, theirs, atol=1e-9)
+    forest.save(tmp_path / "f.npz")
+    loaded = Forest.load(tmp_path / "f.npz")
+    np.testing.assert_allclose(loaded.predict_proba(X[:20]), theirs, atol=1e-9)
+
+
+def test_timewindow():
+    import datetime
+
+    from classifier_pipeline_tpu.config.timewindow import (
+        RelAbsTime,
+        TimeWindow,
+        sun_times,
+    )
+
+    w = TimeWindow(RelAbsTime("21:00"), RelAbsTime("06:30"))
+    assert w.inside_window(datetime.datetime(2026, 1, 1, 23, 0))
+    assert not w.inside_window(datetime.datetime(2026, 1, 1, 12, 0))
+    assert w.inside_window(datetime.datetime(2026, 1, 1, 5, 0))
+    # any-time window
+    w2 = TimeWindow(RelAbsTime(""), RelAbsTime(""))
+    assert w2.inside_window(datetime.datetime(2026, 1, 1, 12, 0))
+    # offsets parse
+    assert RelAbsTime("30m").offset_s == 1800
+    assert RelAbsTime("-1h").offset_s == -3600
+    # NOAA sunrise sanity: Christchurch midsummer ~ 05:50 local (UTC+13)
+    rise, set_ = sun_times(datetime.date(2026, 1, 1), -43.5, 172.6)
+    assert 16 <= rise.hour <= 18  # UTC
+    assert 7 <= set_.hour <= 9  # UTC next day evening local
