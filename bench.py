@@ -36,19 +36,16 @@ def main():
     # compiles (first cold run can take a few minutes on the remote service)
     jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    from classifier_pipeline_tpu.classify.interpreter import (
-        ClipContext,
-        FlaxInterpreter,
-    )
+    from classifier_pipeline_tpu.config.config import Config, ModelConfig
     from classifier_pipeline_tpu.cptv import load_cptv
     from classifier_pipeline_tpu.models.artifacts import create_model
-    from classifier_pipeline_tpu.pipeline.extractor import ClipTrackExtractor
+    from classifier_pipeline_tpu.pipeline.clipclassifier import ClipClassifier
 
     tmp = tempfile.mkdtemp()
     model_prefix = Path(tmp) / "bench-model"
     create_model(model_prefix)
-    interpreter = FlaxInterpreter(str(model_prefix) + ".json")
-    interpreter.seed = 42
+    model = ModelConfig(id=1, name="bench", model_file=str(model_prefix) + ".json")
+    classifier = ClipClassifier(Config({}), model=model, seed=42)
 
     paths = [CLIPS_DIR / "possum.cptv", CLIPS_DIR / "hedgehog.cptv"] * (BATCH // 2)
     n_frames = sum(
@@ -56,17 +53,7 @@ def main():
     )
 
     def run_once():
-        ex = ClipTrackExtractor(keep_rows=True, emit_filtered=True)
-        results = ex.extract_batch(paths)
-        for res in results:
-            thermal = res.clip.pixels[~res.clip.is_background]
-            filtered = np.asarray(res.rows.filtered)
-            t = res.clip.time_on_ms[~res.clip.is_background].astype(np.int64)
-            c = res.clip.last_ffc_ms[~res.clip.is_background].astype(np.int64)
-            ctx = ClipContext(thermal, filtered, list(np.nonzero((t - c) < 9)[0]))
-            for track in res.tracks:
-                interpreter.classify_track(ctx, track, min_segments=1)
-        return results
+        return classifier.process_batch(paths)
 
     log(f"bench: warm-up (compile) over {len(paths)} clips, {n_frames} frames")
     t0 = time.time()

@@ -226,6 +226,36 @@ class FlaxInterpreter:
 
         self._fused_classify = fused
 
+        # batched-across-tracks variant: classify EVERY track of a clip batch
+        # in one device call. thermal_all (B,T,H,W), filtered_all (T,B,H,W —
+        # the scan's native layout), medians_all (B,T); per-track tensors
+        # carry a clip index.
+        @functools.partial(jax.jit, static_argnames=("diff_norm",))
+        def fused_all(variables, thermal_all, filtered_all, medians_all,
+                      clip_idx, reg_arr, valid, track_regs, track_valid,
+                      seg_idx, clip_at_zero, diff_norm):
+            def one(ci, ra, va, tr, tv, si, caz):
+                th = thermal_all[ci]
+                fi = filtered_all[:, ci]
+                md = medians_all[ci]
+                if diff_norm:
+                    limits = preprocess_jax.filtered_limits_for_track(fi, tr, tv)
+                else:
+                    limits = jnp.asarray([jnp.nan, jnp.nan], jnp.float32)
+                frames = preprocess_jax.preprocess_track_frames(
+                    th, fi, ra, va, md, limits, frame_size=fs,
+                    clip_at_zero=caz,
+                )
+                tiles = preprocess_jax.tile_segments(frames.tiles, si, sw)
+                return self.model.apply(variables, tiles, train=False)
+
+            return jax.vmap(one)(
+                clip_idx, reg_arr, valid, track_regs, track_valid, seg_idx,
+                clip_at_zero,
+            )
+
+        self._fused_classify_all = fused_all
+
     def _init_variables(self):
         size = self.params.frame_size * self.params.square_width
         dummy = jnp.zeros((1, size, size, len(self.params.channels)), jnp.float32)
@@ -454,6 +484,90 @@ class FlaxInterpreter:
             if tp.predicted_tag() != "false-positive":
                 tp.cap_confidences(0.5)
         return tp
+
+
+def classify_clip_batch(interpreter, ctxs, track_lists, min_segments=1):
+    """Classify every track of a batch of clips in ONE device call.
+
+    ctxs: per-clip ClipContext (thermal/filtered/medians on device).
+    track_lists: per-clip list of tracks. Returns list of
+    {track_id: TrackPrediction} aligned with ctxs.
+    """
+    jobs = []  # (clip_i, track, segments, tensors)
+    for ci, (ctx, tracks) in enumerate(zip(ctxs, track_lists)):
+        for track in tracks:
+            segments = interpreter.frames_for_prediction(
+                ctx, track, min_segments=min_segments
+            )
+            if not segments:
+                continue
+            tensors = interpreter._segment_tensors(ctx, track, segments)
+            if tensors is None:
+                continue
+            jobs.append((ci, track, segments, tensors))
+    results = [dict() for _ in ctxs]
+    if not jobs:
+        return results
+    N = len(jobs)
+    Fb = max(j[3][0].shape[0] for j in jobs)
+    Tb = max(j[3][2].shape[0] for j in jobs)
+    Sb = max(j[3][4].shape[0] for j in jobs)
+    sw2 = interpreter.params.square_width ** 2
+    reg_arr = np.zeros((N, Fb, 5), np.int32)
+    valid = np.zeros((N, Fb), bool)
+    tr = np.zeros((N, Tb, 5), np.int32)
+    tv = np.zeros((N, Tb), bool)
+    seg_idx = np.zeros((N, Sb, sw2), np.int32)
+    caz = np.zeros((N,), bool)
+    clip_idx = np.zeros((N,), np.int32)
+    for i, (ci, track, segments, tensors) in enumerate(jobs):
+        ra, va, tra, tva, si, clip_at_zero, S = tensors
+        reg_arr[i, : ra.shape[0]] = ra
+        valid[i, : va.shape[0]] = va
+        tr[i, : tra.shape[0]] = tra
+        tv[i, : tva.shape[0]] = tva
+        seg_idx[i, : si.shape[0]] = si
+        caz[i] = clip_at_zero
+        clip_idx[i] = ci
+    # stack clip tensors: thermal (B,T,H,W); filtered to (T,B,H,W)
+    T = max(int(c.thermal.shape[0]) for c in ctxs)
+    B = len(ctxs)
+    H, W = ctxs[0].thermal.shape[1:]
+    thermal_all = np.zeros((B, T, H, W), np.float32)
+    medians_all = np.zeros((B, T), np.float32)
+    fil = []
+    for ci, ctx in enumerate(ctxs):
+        t = int(ctx.thermal.shape[0])
+        thermal_all[ci, :t] = np.asarray(ctx._thermal_np, np.float32)
+        medians_all[ci, :t] = ctx._medians_np
+        f = ctx.filtered
+        if f.shape[0] < T:
+            f = jnp.concatenate(
+                [f, jnp.zeros((T - f.shape[0], H, W), jnp.float32)], axis=0
+            )
+        fil.append(f)
+    filtered_all = jnp.stack(fil, axis=1)  # (T, B, H, W)
+    start = time.time()
+    out = interpreter._fused_classify_all(
+        interpreter.variables, jnp.asarray(thermal_all), filtered_all,
+        jnp.asarray(medians_all), jnp.asarray(clip_idx),
+        jnp.asarray(reg_arr), jnp.asarray(valid), jnp.asarray(tr),
+        jnp.asarray(tv), jnp.asarray(seg_idx), jnp.asarray(caz),
+        diff_norm=bool(interpreter.params.diff_norm),
+    )
+    out = np.asarray(out)
+    elapsed = time.time() - start
+    for i, (ci, track, segments, tensors) in enumerate(jobs):
+        S = tensors[6]
+        output = out[i, :S]
+        frames = [list(s.frame_indices) for s in segments]
+        masses = [s.mass for s in segments]
+        tp = interpreter.track_prediction_from_raw(
+            track.track_id, frames, output, masses
+        )
+        tp.classify_time = elapsed / N
+        results[ci][track.track_id] = tp
+    return results
 
 
 def guess_type(model_file):

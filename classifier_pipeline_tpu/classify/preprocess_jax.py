@@ -106,9 +106,7 @@ def _bbox_reduce(img, x0, y0, w, h, init, op):
     return op(jnp.where(inb, img, init))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("frame_size", "crop_rect", "clip_at_zero")
-)
+@functools.partial(jax.jit, static_argnames=("frame_size", "crop_rect"))
 def preprocess_track_frames(
     thermal,  # (T, H, W) f32
     filtered,  # (T, H, W) f32
@@ -118,7 +116,7 @@ def preprocess_track_frames(
     filtered_limits,  # (2,) f32 (min_diff, max_diff) or nan -> plain norm
     frame_size: int = 32,
     crop_rect=(1, 1, 158, 118),
-    clip_at_zero: bool = True,
+    clip_at_zero=True,  # bool or traced bool
 ):
     """Produce per-region (frame_size, frame_size, 2) preprocessed tiles."""
 
@@ -134,8 +132,9 @@ def preprocess_track_frames(
             fi_frame, x0, y0, w, h, frame_size, crop_rect, jnp.float32(0.0)
         )
         th_c = th_c - medians[fidx]
-        if clip_at_zero:
-            th_c = jnp.clip(th_c, 0.0, None)
+        th_c = jnp.where(
+            jnp.asarray(clip_at_zero), jnp.clip(th_c, 0.0, None), th_c
+        )
         # thermal: min/max normalize over canvas
         tmn, tmx = jnp.min(th_c), jnp.max(th_c)
         th_n = jnp.where(

@@ -93,6 +93,52 @@ class ClipClassifier:
         )
         return meta
 
+    def process_batch(self, paths) -> list[dict]:
+        """Batch path: track all clips concurrently, then classify every
+        track of every clip in one device call per model."""
+        from classifier_pipeline_tpu.classify.interpreter import (
+            classify_clip_batch,
+        )
+
+        start = time.time()
+        extractor = ClipTrackExtractor(
+            config=self.config.raw, keep_rows=True, emit_filtered=True
+        )
+        results = extractor.extract_batch(paths)
+        ctxs = []
+        for res in results:
+            thermal = res.clip.pixels[~res.clip.is_background]
+            ctxs.append(
+                ClipContext(thermal, res.rows.filtered, self._ffc_frames(res))
+            )
+        metas = []
+        all_preds = {}
+        for model in self.models:
+            interpreter = self.get_classifier(model)
+            per_clip = classify_clip_batch(
+                interpreter, ctxs, [res.tracks for res in results],
+                min_segments=1,
+            )
+            all_preds[model.id] = (interpreter, per_clip)
+        for ci, res in enumerate(results):
+            meta = res.metadata
+            for i, track in enumerate(res.tracks):
+                pred_info = []
+                for model_id, (interpreter, per_clip) in all_preds.items():
+                    tp = per_clip[ci].get(track.track_id)
+                    if tp is None:
+                        continue
+                    pm = tp.get_metadata(interpreter.thresholds)
+                    pm["model_id"] = model_id
+                    pred_info.append(pm)
+                meta["tracks"][i]["predictions"] = pred_info
+            meta["models"] = [vars(m) for m in self.models]
+            metas.append(meta)
+        logging.info(
+            "Classified %d clips in %.1fs", len(paths), time.time() - start
+        )
+        return metas
+
     @staticmethod
     def _ffc_frames(result):
         clip = result.clip

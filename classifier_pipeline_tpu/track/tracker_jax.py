@@ -765,7 +765,10 @@ def make_scan_step(p: TrackingParams):
 
 
 def init_carry(p: TrackingParams, first_frame: np.ndarray) -> Carry:
-    """reference init_clip: WeightedBackground.process_frame(first frame)."""
+    """reference init_clip: WeightedBackground.process_frame(first frame).
+
+    Pure NumPy: the carry transfers to device as whole jit arguments (a
+    leaf-by-leaf jnp construction costs dozens of tunnel round trips)."""
     H, W = p.res_y, p.res_x
     cx0, cy0, cw, ch = p.crop
     frame_i = np.int32(first_frame)[cy0 : cy0 + ch, cx0 : cx0 + cw]
@@ -779,18 +782,36 @@ def init_carry(p: TrackingParams, first_frame: np.ndarray) -> Carry:
     for k in range(e):
         bg[:, k] = bg[:, e]
         bg[:, W - 1 - k] = bg[:, W - 1 - e]
-    avg_num = int(frame_i.sum())
-    avg_den = int(frame_i.size)
     return Carry(
-        background=jnp.asarray(bg),
-        weight=jnp.zeros((H, W), jnp.float32),
-        avg_num=jnp.int32(avg_num),
-        avg_den=jnp.int32(avg_den),
-        prev_filtered=jnp.zeros((H, W), jnp.float32),
-        has_prev=jnp.bool_(False),
-        slots=_empty_slots(p.max_track_slots),
-        next_id=jnp.int32(1),
-        frame_idx=jnp.int32(-1),
+        background=bg,
+        weight=np.zeros((H, W), np.float32),
+        avg_num=np.int32(frame_i.sum()),
+        avg_den=np.int32(frame_i.size),
+        prev_filtered=np.zeros((H, W), np.float32),
+        has_prev=np.bool_(False),
+        slots=_empty_slots_np(p.max_track_slots),
+        next_id=np.int32(1),
+        frame_idx=np.int32(-1),
+    )
+
+
+def _empty_slots_np(K: int) -> TrackSlots:
+    f = np.zeros((K,), np.float32)
+    i = np.zeros((K,), np.int32)
+    b = np.zeros((K,), bool)
+    return TrackSlots(
+        active=b, used=b.copy(), track_id=i, start_frame=i.copy(),
+        frames=i.copy(), blank_frames=i.copy(), fsts=i.copy(),
+        kal_x=np.zeros((K, 4), np.float32),
+        kal_p=np.zeros((K, 4, 4), np.float32),
+        pred_mid=np.zeros((K, 2), np.float32),
+        last_x=i.copy(), last_y=i.copy(), last_w=i.copy(), last_h=i.copy(),
+        last_mass=i.copy(), last_cent=np.zeros((K, 2), np.float32),
+        last_blank=b.copy(), last_border=b.copy(),
+        vel=np.zeros((K, 2), np.float32),
+        mass_ring=np.zeros((K, 5), np.float32),
+        area_ring=np.zeros((K, 5), np.float32),
+        ring_n=i.copy(), ring_pos=i.copy(),
     )
 
 
@@ -813,19 +834,37 @@ def running_mean45_int(thermal: np.ndarray, window: int = 45) -> np.ndarray:
 import functools
 
 
+def _device_mean45_int(thermal_i32, window=45):
+    """On-device trailing-45 mean, exact: the sums are integers < 2^24 so
+    int32 floor division reproduces np.int32(float64_mean) bit-for-bit
+    (positive operands). thermal_i32: (T, H, W)."""
+    T = thermal_i32.shape[0]
+    cs = jnp.cumsum(thermal_i32, axis=0, dtype=jnp.int32)
+    if T > window:
+        sums = jnp.concatenate([cs[:window], cs[window:] - cs[:-window]], axis=0)
+    else:
+        sums = cs
+    counts = jnp.minimum(jnp.arange(1, T + 1, dtype=jnp.int32), window)
+    means = jnp.floor_divide(sums, counts[:, None, None])
+    return means.astype(jnp.float32)
+
+
 @functools.partial(jax.jit, static_argnames=("params",))
-def _track_scan(params: TrackingParams, carry: Carry, thermal, mean45, ffc):
+def _track_scan(params: TrackingParams, carry: Carry, thermal, ffc):
     step = make_scan_step(params)
+    mean45 = _device_mean45_int(thermal)
     return jax.lax.scan(step, carry, (thermal, mean45, ffc))
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def _track_scan_batch(params: TrackingParams, carry: Carry, thermal, mean45, ffc):
+def _track_scan_batch(params: TrackingParams, carry: Carry, thermal, ffc):
     """Batched variant: scan over time of a vmapped step. All per-clip state
     vectorizes (the CCL while_loop runs until every clip's labels converge).
-    This is the throughput path: one chip tracks B clips concurrently."""
+    This is the throughput path: one chip tracks B clips concurrently.
+    thermal: (B, T, H, W) int32."""
     step = make_scan_step(params)
     vstep = jax.vmap(step)
+    mean45 = jax.vmap(_device_mean45_int)(thermal)
     return jax.lax.scan(
         lambda c, x: vstep(c, x),
         carry,
@@ -859,20 +898,16 @@ def track_clips_batch(
     T = _round_up(max(t.shape[0] for t in thermals), bucket)
     H, W = params.res_y, params.res_x
     th = np.zeros((B, T, H, W), np.int32)
-    m45 = np.zeros((B, T, H, W), np.float32)
     ffc_pad = np.ones((B, T), bool)  # padding = FFC (inert)
     carries = []
     for i, thermal in enumerate(thermals):
         t = thermal.shape[0]
         th[i, :t] = thermal.astype(np.int32)
-        m45[i, :t] = running_mean45_int(thermal)
         ffc_pad[i, :t] = ffcs[i]
         bg = backgrounds[i] if backgrounds is not None else thermal[0]
         carries.append(init_carry(params, bg))
-    carry0 = jax.tree.map(lambda *xs: jnp.stack(xs), *carries)
-    carry, rows = _track_scan_batch(
-        params, carry0, jnp.asarray(th), jnp.asarray(m45), jnp.asarray(ffc_pad)
-    )
+    carry0 = jax.tree.map(lambda *xs: np.stack(xs), *carries)
+    carry, rows = _track_scan_batch(params, carry0, th, ffc_pad)
     rows = fetch_rows(rows)
     carry = jax.device_get(carry)
     out = []
@@ -913,12 +948,7 @@ def track_clip(
     if background is None:
         background = thermal[0]
     carry = init_carry(params, background)
-    mean45 = running_mean45_int(thermal)
     carry, rows = _track_scan(
-        params,
-        carry,
-        jnp.asarray(thermal.astype(np.int32)),
-        jnp.asarray(mean45),
-        jnp.asarray(ffc.astype(bool)),
+        params, carry, thermal.astype(np.int32), ffc.astype(bool)
     )
     return fetch_rows(rows), jax.device_get(carry)
