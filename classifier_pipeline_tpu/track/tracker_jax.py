@@ -850,20 +850,22 @@ def _device_mean45_int(thermal_i32, window=45):
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def _track_scan(params: TrackingParams, carry: Carry, thermal, ffc):
+def _track_scan(params: TrackingParams, carry: Carry, thermal_u16, ffc):
     step = make_scan_step(params)
+    thermal = thermal_u16.astype(jnp.int32)  # upload u16, widen on device
     mean45 = _device_mean45_int(thermal)
     return jax.lax.scan(step, carry, (thermal, mean45, ffc))
 
 
 @functools.partial(jax.jit, static_argnames=("params",))
-def _track_scan_batch(params: TrackingParams, carry: Carry, thermal, ffc):
+def _track_scan_batch(params: TrackingParams, carry: Carry, thermal_u16, ffc):
     """Batched variant: scan over time of a vmapped step. All per-clip state
     vectorizes (the CCL while_loop runs until every clip's labels converge).
     This is the throughput path: one chip tracks B clips concurrently.
-    thermal: (B, T, H, W) int32."""
+    thermal_u16: (B, T, H, W) uint16 (halves the host->device transfer)."""
     step = make_scan_step(params)
     vstep = jax.vmap(step)
+    thermal = thermal_u16.astype(jnp.int32)
     mean45 = jax.vmap(_device_mean45_int)(thermal)
     return jax.lax.scan(
         lambda c, x: vstep(c, x),
@@ -897,12 +899,12 @@ def track_clips_batch(
     B = len(thermals)
     T = _round_up(max(t.shape[0] for t in thermals), bucket)
     H, W = params.res_y, params.res_x
-    th = np.zeros((B, T, H, W), np.int32)
+    th = np.zeros((B, T, H, W), np.uint16)
     ffc_pad = np.ones((B, T), bool)  # padding = FFC (inert)
     carries = []
     for i, thermal in enumerate(thermals):
         t = thermal.shape[0]
-        th[i, :t] = thermal.astype(np.int32)
+        th[i, :t] = thermal.astype(np.uint16)
         ffc_pad[i, :t] = ffcs[i]
         bg = backgrounds[i] if backgrounds is not None else thermal[0]
         carries.append(init_carry(params, bg))
@@ -949,6 +951,6 @@ def track_clip(
         background = thermal[0]
     carry = init_carry(params, background)
     carry, rows = _track_scan(
-        params, carry, thermal.astype(np.int32), ffc.astype(bool)
+        params, carry, thermal.astype(np.uint16), ffc.astype(bool)
     )
     return fetch_rows(rows), jax.device_get(carry)
