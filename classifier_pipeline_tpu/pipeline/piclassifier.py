@@ -123,6 +123,21 @@ class PiClassifier:
                     rec, thermal_config, headers, self.on_recording_stopping
                 )
             self.recorder = rec
+        # snapshot recorder (dbus TakeSnapshot; reference piclassifier.py
+        # take_snapshot:896-905) — short fixed-length test recordings
+        self.snapshot_recorder = (
+            CPTVRecorder(thermal_config, headers, name="SnapshotRecorder",
+                         file_suffix="-snapshot")
+            if recorder is None
+            else DummyRecorder(thermal_config, headers, name="SnapshotRecorder")
+        )
+        # constant recorder (reference constant_recorder wiring :918-931)
+        self.constant_recorder = None
+        if thermal_config.recorder.constant_recorder:
+            self.constant_recorder = CPTVRecorder(
+                thermal_config, headers, name="ConstantRecorder",
+                constant_recorder=True,
+            )
 
         th = threshold_for_model(headers.model)
         self.background_thresh = th["background_thresh"]
@@ -382,6 +397,17 @@ class PiClassifier:
         self.motion_detector.process_frame(lepton_frame)
         self.process_time += time.time() - start
 
+        if self.snapshot_recorder.recording:
+            self.snapshot_recorder.process_frame(False, lepton_frame, received_at)
+        if self.constant_recorder is not None and self.motion_detector.can_record():
+            if self.constant_recorder.recording:
+                self.constant_recorder.process_frame(True, lepton_frame, received_at)
+            else:
+                self.constant_recorder.start_recording(
+                    self.motion_detector.background, [],
+                    self.motion_detector.temp_thresh, time.time(),
+                )
+
         if (
             not self.recorder.recording
             and self.motion_detector.movement_detected
@@ -473,9 +499,24 @@ class PiClassifier:
             json.dump(meta, f, indent=4, default=_json_default)
         logging.info("Wrote metadata %s", meta_name)
 
+    def take_snapshot(self):
+        """dbus TakeSnapshot: record a short fixed-length test clip
+        (reference piclassifier.py:896-905)."""
+        started = self.snapshot_recorder.start_recording(
+            None, [], self.motion_detector.temp_thresh, time.time()
+        )
+        if not started:
+            logging.info("Already taking snapshot recording")
+            return False
+        self.snapshot_recorder.write_until = 2 * self.headers.fps
+        return True
+
     def disconnected(self):
         self.motion_detector.disconnected()
         self.recorder.force_stop()
+        self.snapshot_recorder.force_stop()
+        if self.constant_recorder is not None:
+            self.constant_recorder.force_stop()
         if self.tracker.carry is not None:
             self.end_clip()
 
