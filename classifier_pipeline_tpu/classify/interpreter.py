@@ -111,17 +111,34 @@ class ClipContext:
 
     def __init__(self, thermal: np.ndarray, filtered: np.ndarray, ffc_frames,
                  frame_numbers=None):
-        self.thermal = jnp.asarray(thermal.astype(np.float32))
-        self.filtered = jnp.asarray(filtered).astype(jnp.float32)
+        self._thermal_np = np.asarray(thermal)
+        self._thermal_dev = None  # lazy: the batch path never uploads it
+        self._filtered_src = filtered
+        self._filtered_dev = None
         self._medians_np = np.median(thermal, axis=(1, 2))
         self.medians = jnp.asarray(self._medians_np.astype(np.float32))
-        self._thermal_np = thermal
         self.ffc_frames = list(ffc_frames)
         self.background = None
         if frame_numbers is None:
             self._index = None
         else:
             self._index = {int(fn): i for i, fn in enumerate(frame_numbers)}
+
+    @property
+    def thermal(self):
+        if self._thermal_dev is None:
+            self._thermal_dev = jnp.asarray(
+                self._thermal_np.astype(np.float32)
+            )
+        return self._thermal_dev
+
+    @property
+    def filtered(self):
+        if self._filtered_dev is None:
+            self._filtered_dev = jnp.asarray(self._filtered_src).astype(
+                jnp.float32
+            )
+        return self._filtered_dev
 
     def index_of(self, frame_number: int) -> int:
         if self._index is None:
@@ -231,9 +248,11 @@ class FlaxInterpreter:
         # the scan's native layout), medians_all (B,T); per-track tensors
         # carry a clip index.
         @functools.partial(jax.jit, static_argnames=("diff_norm",))
-        def fused_all(variables, thermal_all, filtered_all, medians_all,
+        def fused_all(variables, thermal_all_u16, filtered_all, medians_all,
                       clip_idx, reg_arr, valid, track_regs, track_valid,
                       seg_idx, clip_at_zero, diff_norm):
+            thermal_all = thermal_all_u16.astype(jnp.float32)
+
             def one(ci, ra, va, tr, tv, si, caz):
                 th = thermal_all[ci]
                 fi = filtered_all[:, ci]
@@ -530,15 +549,15 @@ def classify_clip_batch(interpreter, ctxs, track_lists, min_segments=1):
         caz[i] = clip_at_zero
         clip_idx[i] = ci
     # stack clip tensors: thermal (B,T,H,W); filtered to (T,B,H,W)
-    T = max(int(c.thermal.shape[0]) for c in ctxs)
+    T = max(int(c._thermal_np.shape[0]) for c in ctxs)
     B = len(ctxs)
-    H, W = ctxs[0].thermal.shape[1:]
-    thermal_all = np.zeros((B, T, H, W), np.float32)
+    H, W = ctxs[0]._thermal_np.shape[1:]
+    thermal_all = np.zeros((B, T, H, W), np.uint16)
     medians_all = np.zeros((B, T), np.float32)
     fil = []
     for ci, ctx in enumerate(ctxs):
-        t = int(ctx.thermal.shape[0])
-        thermal_all[ci, :t] = np.asarray(ctx._thermal_np, np.float32)
+        t = int(ctx._thermal_np.shape[0])
+        thermal_all[ci, :t] = np.asarray(ctx._thermal_np, np.uint16)
         medians_all[ci, :t] = ctx._medians_np
         f = ctx.filtered
         if f.shape[0] < T:

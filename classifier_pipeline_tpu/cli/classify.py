@@ -19,6 +19,14 @@ def main(argv=None):
     parser.add_argument("-o", "--out-dir", help="output dir for metadata")
     parser.add_argument("--to-stdout", action="store_true")
     parser.add_argument("--seed", type=int, help="deterministic segment sampling")
+    parser.add_argument(
+        "--no-track", dest="track", action="store_false",
+        help="reuse tracks from the existing .txt metadata instead of re-tracking",
+    )
+    parser.add_argument(
+        "--batch", action="store_true",
+        help="track+classify all files concurrently on one chip",
+    )
     parser.add_argument("--platform", choices=["tpu", "cpu", "default"], default="default")
     args = parser.parse_args(argv)
     if args.platform == "cpu":
@@ -37,8 +45,8 @@ def main(argv=None):
 
     target = Path(args.target)
     files = sorted(target.rglob("*.cptv")) if target.is_dir() else [target]
-    for f in files:
-        meta = classifier.process_file(f)
+
+    def emit(f, meta):
         if args.to_stdout:
             from classifier_pipeline_tpu.pipeline.extractor import _json_default
 
@@ -51,6 +59,18 @@ def main(argv=None):
             )
             out.parent.mkdir(parents=True, exist_ok=True)
             classifier.save_metadata(meta, out)
+
+    if args.batch and args.track and len(files) > 1:
+        metas = classifier.process_batch(files)
+        for f, meta in zip(files, metas):
+            emit(f, meta)
+    else:
+        for f in files:
+            if args.track:
+                meta = classifier.process_file(f)
+            else:
+                meta = classifier.process_file_from_metadata(f)
+            emit(f, meta)
     return 0
 
 

@@ -93,6 +93,59 @@ class ClipClassifier:
         )
         return meta
 
+    def process_file_from_metadata(self, filename) -> dict:
+        """Classify reusing tracks from the existing .txt sidecar instead of
+        re-tracking (reference classify with track=False:
+        clipclassifier.py:203-208 Clip.load_metadata + parse_clip)."""
+        from classifier_pipeline_tpu.data.rawdb import RawDatabase
+        from classifier_pipeline_tpu.track.postprocess import AssembledTrack
+
+        filename = Path(filename)
+        raw = RawDatabase(filename)
+        meta = raw.meta_data
+        if meta is None:
+            raise FileNotFoundError(f"no metadata sidecar for {filename}")
+        raw.load_frames()
+        thermal, filtered = raw.frames
+        ctx = ClipContext(thermal, filtered, raw.ffc_frames)
+        ctx.background = raw.background
+        header = raw.get_clip_tracks()
+        tracks = []
+        for th in header.tracks:
+            bounds = th.bounds_history
+            tracks.append(
+                AssembledTrack(
+                    track_id=th.track_id,
+                    start_frame=th.start_frame,
+                    bounds=bounds,
+                    vel_x=[0] * len(bounds),
+                    vel_y=[0] * len(bounds),
+                    blank_frames=sum(1 for b in bounds if b.blank),
+                    fsts=0,
+                )
+            )
+        predictions_per_model = {}
+        for model in self.models:
+            interpreter = self.get_classifier(model)
+            preds = Predictions(interpreter.labels, model, interpreter.thresholds)
+            predictions_per_model[model.id] = preds
+            for track in tracks:
+                tp = interpreter.classify_track(ctx, track, min_segments=1)
+                if tp is not None:
+                    preds.prediction_per_track[track.track_id] = tp
+        for t_meta in meta.get("tracks", []):
+            pred_info = []
+            for model_id, preds in predictions_per_model.items():
+                tp = preds.prediction_for(t_meta["id"])
+                if tp is None:
+                    continue
+                pm = tp.get_metadata(preds.thresholds)
+                pm["model_id"] = model_id
+                pred_info.append(pm)
+            t_meta["predictions"] = pred_info
+        meta["models"] = [vars(m) for m in self.models]
+        return meta
+
     def process_batch(self, paths) -> list[dict]:
         """Batch path: track all clips concurrently, then classify every
         track of every clip in one device call per model."""
