@@ -151,7 +151,17 @@ class TrainLoader:
 
     def epoch(self):
         n = len(self.images)
-        order = self.rng.permutation(n)
+        if self.resample:
+            # per-label uniform resampling (reference tfdataset.py:167-197):
+            # draw each batch element with probability inversely proportional
+            # to its label's frequency
+            labels = np.argmax(self.onehots, axis=1)
+            counts = np.bincount(labels, minlength=self.onehots.shape[1])
+            weights = 1.0 / np.maximum(counts[labels], 1)
+            weights = weights / weights.sum()
+            order = self.rng.choice(n, size=n, replace=True, p=weights)
+        else:
+            order = self.rng.permutation(n)
         bs = self.batch_size
         for i in range(0, n - bs + 1, bs) if n >= bs else [0]:
             idx = order[i : i + bs] if n >= bs else order

@@ -67,13 +67,13 @@ class StreamingTracker:
         self.carry, rows = _stream_step(
             self.params,
             self.carry,
-            jnp.asarray(np.asarray(pix, np.int32)),
-            jnp.asarray(np.asarray(background, np.float32)),
-            jnp.int32(avg_num),
-            jnp.int32(avg_den),
-            jnp.bool_(ffc),
+            np.asarray(pix, np.int32),
+            np.asarray(background, np.float32),
+            np.int32(avg_num),
+            np.int32(avg_den),
+            np.bool_(ffc),
         )
-        rows = jax.device_get(rows)
+        rows = tracker_jax.fetch_rows(rows)
         self.current_frame += 1
         new_tracks = self._update_tracks(rows)
         return new_tracks, rows

@@ -13,8 +13,8 @@ Algorithmic parity notes (all verified against the reference's behavior):
   * WeightedBackground per-pixel min-descent with growing weight
     (reference src/piclassifier/motiondetector.py:178-248), updated with the
     trailing-45-frame mean (cliptrackextractor.py:170-176). The mean is
-    precomputed host-side in float64 and truncated to int32 exactly as
-    ``np.int32(np.mean(...))`` does.
+    computed on device with exact int32 arithmetic (floor division equals
+    ``np.int32`` truncation of the float64 mean for non-negative sums).
   * The background average and avg_change use Python ``int(round(.))``
     banker's rounding; we reproduce it with exact int32 arithmetic.
   * FFC detection follows the reference's integer-milliseconds branch
@@ -911,13 +911,14 @@ def track_clips_batch(
     carry0 = jax.tree.map(lambda *xs: np.stack(xs), *carries)
     carry, rows = _track_scan_batch(params, carry0, th, ffc_pad)
     rows = fetch_rows(rows)
-    carry = jax.device_get(carry)
+    # the carry stays on device except the background (its only host
+    # consumer); a full device_get costs one tunnel round trip per leaf
+    backgrounds_np = np.asarray(carry.background)
     out = []
     for i, thermal in enumerate(thermals):
         t = thermal.shape[0]
         clip_rows = jax.tree.map(lambda a: a[:t, i], rows)
-        clip_carry = jax.tree.map(lambda a: a[i], carry)
-        out.append((clip_rows, clip_carry))
+        out.append((clip_rows, _HostCarry(backgrounds_np[i])))
     return out
 
 
@@ -958,6 +959,14 @@ def _pack_rows(rows: FrameRows):
         [rows.threshold, rows.overflow.astype(jnp.float32)], axis=-1
     )
     return slot, reg, scalars
+
+
+class _HostCarry:
+    """Host view of the final scan carry: just the background (the only
+    field host code reads after a batch scan)."""
+
+    def __init__(self, background):
+        self.background = background
 
 
 def fetch_rows(rows: FrameRows) -> FrameRows:
@@ -1016,4 +1025,4 @@ def track_clip(
     carry, rows = _track_scan(
         params, carry, thermal.astype(np.uint16), ffc.astype(bool)
     )
-    return fetch_rows(rows), jax.device_get(carry)
+    return fetch_rows(rows), _HostCarry(np.asarray(carry.background))
