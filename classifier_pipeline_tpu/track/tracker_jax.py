@@ -924,41 +924,51 @@ def track_clips_batch(
 
 @jax.jit
 def _pack_rows(rows: FrameRows):
-    """Concatenate the many small per-slot outputs into three arrays so the
-    device->host fetch costs three round trips instead of twenty (each
-    transfer over the TPU tunnel has ~0.2s latency)."""
-    slot = jnp.stack(
+    """Concatenate the many small per-slot outputs into a few compact arrays
+    so the device->host fetch is a handful of small transfers (the TPU
+    tunnel is both latency- and bandwidth-constrained).
+
+    Integer fields (coords <= 160, mass <= 19200, flags) travel as uint16;
+    centroids and variances keep full float32 (tracking-stat parity)."""
+    flags = (
+        rows.emitted.astype(jnp.uint16)
+        + rows.blank.astype(jnp.uint16) * 2
+        + rows.border.astype(jnp.uint16) * 4
+    )
+    slot_u16 = jnp.stack(
         [
-            rows.emitted.astype(jnp.float32),
-            rows.blank.astype(jnp.float32),
-            rows.x.astype(jnp.float32),
-            rows.y.astype(jnp.float32),
-            rows.w.astype(jnp.float32),
-            rows.h.astype(jnp.float32),
-            rows.mass.astype(jnp.float32),
-            rows.cent[..., 0],
-            rows.cent[..., 1],
-            rows.variance,
-            rows.border.astype(jnp.float32),
+            flags,
+            # blank-region boxes can momentarily go negative before cropping
+            # in degenerate cases; bias by 4096 to stay unsigned-safe
+            (rows.x + 4096).astype(jnp.uint16),
+            (rows.y + 4096).astype(jnp.uint16),
+            rows.w.astype(jnp.uint16),
+            rows.h.astype(jnp.uint16),
         ],
         axis=-1,
     )
-    reg = jnp.stack(
+    # mass rides in the f32 block: IR masses can exceed uint16
+    slot_f32 = jnp.stack(
+        [rows.cent[..., 0], rows.cent[..., 1], rows.variance,
+         rows.mass.astype(jnp.float32)], axis=-1
+    )
+    reg_u16 = jnp.stack(
         [
-            rows.reg_valid.astype(jnp.float32),
-            rows.reg_x.astype(jnp.float32),
-            rows.reg_y.astype(jnp.float32),
-            rows.reg_w.astype(jnp.float32),
-            rows.reg_h.astype(jnp.float32),
-            rows.reg_mass.astype(jnp.float32),
-            rows.reg_variance,
+            rows.reg_valid.astype(jnp.uint16),
+            rows.reg_x.astype(jnp.uint16),
+            rows.reg_y.astype(jnp.uint16),
+            rows.reg_w.astype(jnp.uint16),
+            rows.reg_h.astype(jnp.uint16),
         ],
         axis=-1,
+    )
+    reg_f32 = jnp.stack(
+        [rows.reg_variance, rows.reg_mass.astype(jnp.float32)], axis=-1
     )
     scalars = jnp.stack(
         [rows.threshold, rows.overflow.astype(jnp.float32)], axis=-1
     )
-    return slot, reg, scalars
+    return slot_u16, slot_f32, reg_u16, reg_f32, scalars
 
 
 class _HostCarry:
@@ -974,27 +984,30 @@ def fetch_rows(rows: FrameRows) -> FrameRows:
     channel, which stays on device: its only consumer is the (device-side)
     classification preprocessing, and when the TPU sits behind a network
     tunnel a (T, H, W) float32 transfer dominates the whole pipeline."""
-    slot, reg, scalars = jax.device_get(_pack_rows(rows))
+    slot_u16, slot_f32, reg_u16, reg_f32, scalars = jax.device_get(
+        _pack_rows(rows)
+    )
     mask = np.asarray(rows.mask)
     i32 = lambda a: a.astype(np.int32)
+    flags = slot_u16[..., 0]
     return FrameRows(
-        emitted=slot[..., 0] > 0.5,
-        blank=slot[..., 1] > 0.5,
-        x=i32(slot[..., 2]),
-        y=i32(slot[..., 3]),
-        w=i32(slot[..., 4]),
-        h=i32(slot[..., 5]),
-        mass=i32(slot[..., 6]),
-        cent=np.stack([slot[..., 7], slot[..., 8]], axis=-1),
-        variance=slot[..., 9],
-        border=slot[..., 10] > 0.5,
-        reg_valid=reg[..., 0] > 0.5,
-        reg_x=i32(reg[..., 1]),
-        reg_y=i32(reg[..., 2]),
-        reg_w=i32(reg[..., 3]),
-        reg_h=i32(reg[..., 4]),
-        reg_mass=i32(reg[..., 5]),
-        reg_variance=reg[..., 6],
+        emitted=(flags & 1) > 0,
+        blank=(flags & 2) > 0,
+        x=i32(slot_u16[..., 1]) - 4096,
+        y=i32(slot_u16[..., 2]) - 4096,
+        w=i32(slot_u16[..., 3]),
+        h=i32(slot_u16[..., 4]),
+        mass=i32(slot_f32[..., 3]),
+        cent=slot_f32[..., 0:2].copy(),
+        variance=slot_f32[..., 2],
+        border=(flags & 4) > 0,
+        reg_valid=reg_u16[..., 0] > 0,
+        reg_x=i32(reg_u16[..., 1]),
+        reg_y=i32(reg_u16[..., 2]),
+        reg_w=i32(reg_u16[..., 3]),
+        reg_h=i32(reg_u16[..., 4]),
+        reg_mass=i32(reg_f32[..., 1]),
+        reg_variance=reg_f32[..., 0],
         threshold=scalars[..., 0],
         overflow=i32(scalars[..., 1]),
         filtered=rows.filtered,
