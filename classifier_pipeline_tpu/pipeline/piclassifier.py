@@ -221,7 +221,47 @@ class PiClassifier:
         self._ring.append(
             (t_idx, np.asarray(frame.pix, np.uint16), np.asarray(rows.filtered))
         )
+        self._update_thumbnails(frame, rows, t_idx)
         return new_tracks
+
+    def _update_thumbnails(self, frame, rows, t_idx):
+        """Incremental per-track thumbnail scoring (reference
+        piclassifier.update_thumbnail:708-844): keep the best-scoring
+        region stat seen so far for each live track."""
+        from classifier_pipeline_tpu.classify import thumbnail
+        from classifier_pipeline_tpu.track import tracker_jax
+
+        mask = None
+        median = None
+        for track in self.tracker.active_tracks:
+            b = track.last_bound
+            if b is None or b.blank or b.mass == 0 or b.frame_number != t_idx:
+                continue
+            if mask is None:
+                mask = tracker_jax.unpack_mask(np.asarray(rows.mask))
+                median = float(np.median(frame.pix))
+            sub = mask[b.y : b.bottom, b.x : b.right]
+            points = thumbnail.largest_boundary_length(sub)
+            if points == 0:
+                continue
+            thermal_sub = np.asarray(frame.pix)[b.y : b.bottom, b.x : b.right]
+            masked = thermal_sub[sub > 0]
+            if masked.size == 0:
+                continue
+            median_diff = float(np.median(masked) - median)
+            stat = thumbnail.Stat(b, points, median_diff)
+            best = getattr(track, "thumb_stat", None)
+            # relative score vs the track's own running maxima
+            maxima = getattr(track, "thumb_maxima", [1, 1.0, 1])
+            maxima = [
+                max(maxima[0], b.mass),
+                max(maxima[1], median_diff),
+                max(maxima[2], points),
+            ]
+            track.thumb_maxima = maxima
+            s = thumbnail.score(stat, maxima[0], maxima[1], 0, maxima[2])
+            if best is None or s > best[0]:
+                track.thumb_stat = (s, stat)
 
     # ---------------------------------------------------------- cascade ----
 
@@ -482,6 +522,15 @@ class PiClassifier:
         meta = {"tracks": []}
         for track in self.tracker.all_tracks():
             info = track.get_metadata()
+            thumb = getattr(track, "thumb_stat", None)
+            if thumb is not None:
+                s, stat = thumb
+                info["thumbnail"] = {
+                    "region": stat.region.meta_dict(),
+                    "contours": int(stat.contours),
+                    "median_diff": float(stat.median_diff),
+                    "score": round(s),
+                }
             preds = []
             for model_id, registry in self.predictions.items():
                 tp = registry.prediction_for(track.track_id)
