@@ -128,6 +128,47 @@ def score_track(expected: TestTrack, matched):
     return "WORSE"
 
 
+def generate_tests(metadata_files, out_file):
+    """Create a tracking-tests YAML from produced metadata (reference
+    tests/generatetests.py): each track's current start/end become the
+    recorded baseline for future IMPROVED/SAME/WORSE scoring."""
+    import json
+
+    recordings = []
+    for mf in metadata_files:
+        meta = json.loads(Path(mf).read_text())
+        tracks = []
+        for t in meta.get("tracks", []):
+            if not t.get("positions"):
+                continue
+            p0, p1 = t["positions"][0], t["positions"][-1]
+            tracks.append(
+                {
+                    "tag": (t.get("predictions") or [{}])[0].get("tag", "unknown"),
+                    "start": t["start_s"],
+                    "end": t["end_s"],
+                    "opt_start": t["start_s"],
+                    "opt_end": t["end_s"],
+                    "expected": True,
+                    "track_id": t["id"],
+                    "start_pos": [
+                        t["start_s"],
+                        [p0["x"], p0["y"], p0["x"] + p0["width"], p0["y"] + p0["height"]],
+                    ],
+                    "end_pos": [
+                        t["end_s"],
+                        [p1["x"], p1["y"], p1["x"] + p1["width"], p1["y"] + p1["height"]],
+                    ],
+                }
+            )
+        recordings.append(
+            {"filename": Path(meta.get("source", mf)).name, "tracks": tracks}
+        )
+    doc = {"recording_tests": recordings, "clip_dir": "."}
+    Path(out_file).write_text(yaml.safe_dump(doc, sort_keys=False))
+    return out_file
+
+
 def run_tests(test_file, clip_dir=None, extract_fn=None):
     """Run the whole suite; returns {filename: [(tag, verdict), ...]}."""
     if extract_fn is None:
