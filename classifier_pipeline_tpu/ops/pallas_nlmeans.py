@@ -1,0 +1,109 @@
+"""NL-means denoise as a Pallas TPU kernel.
+
+The XLA formulation of NL-means (441 shifted-difference + box-filter chains)
+is HBM-bound: every search offset round-trips several (H, W) float32
+intermediates through HBM because the cumsum-based box filters break fusion.
+This kernel keeps the shifted frames, accumulators and every intermediate in
+VMEM: HBM traffic is one read of the 21 row-shifted copies and one write of
+the result per frame.
+
+Structure: the 21 vertical (dy) shifts are pre-stacked outside the kernel
+(Mosaic only allows dynamic indexing on the leading dimension), the kernel
+runs a fori_loop over dy with the 21 horizontal (dx) shifts unrolled as
+static lane slices, and the 7x7 patch box-sum is 12 shifted adds — all VPU
+work on VMEM-resident data.
+
+Numerics match ops.nl_means_denoise_u8 (same formula, same padding) up to
+float summation order.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+H_PARAM = 3.0
+TEMPLATE = 7
+SEARCH = 21
+
+
+def _kernel(shifts_ref, out_ref, *, H, W):
+    ts = TEMPLATE // 2
+    hs = SEARCH // 2
+    inv = -1.0 / (H_PARAM * H_PARAM * TEMPLATE * TEMPLATE)
+    Hb, Wb = H + 2 * ts, W + 2 * ts
+    # base = un-shifted (dy=hs) rows at column offset hs
+    base = shifts_ref[0, hs, :, hs : hs + Wb]
+
+    def row_body(dy, carry):
+        num, den = carry
+        row = shifts_ref[0, dy]  # (Hb, W + 2p): leading-dim dynamic index
+
+        for dx in range(SEARCH):
+            sh = jax.lax.slice(row, (0, dx), (Hb, dx + Wb))
+            d2 = (sh - base) ** 2
+            rb = jax.lax.slice(d2, (0, 0), (H, Wb))
+            for r in range(1, TEMPLATE):
+                rb = rb + jax.lax.slice(d2, (r, 0), (r + H, Wb))
+            cb = jax.lax.slice(rb, (0, 0), (H, W))
+            for c in range(1, TEMPLATE):
+                cb = cb + jax.lax.slice(rb, (0, c), (H, c + W))
+            w = jnp.exp(cb * inv)
+            centre = jax.lax.slice(sh, (ts, ts), (ts + H, ts + W))
+            num = num + w * centre
+            den = den + w
+        return num, den
+
+    num0 = jnp.zeros((H, W), jnp.float32)
+    den0 = jnp.zeros((H, W), jnp.float32)
+    num, den = jax.lax.fori_loop(0, SEARCH, row_body, (num0, den0))
+    out = num / den
+    out_ref[0] = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.int32)
+
+
+def tpu_backend() -> bool:
+    try:
+        platform = jax.devices()[0].platform.lower()
+    except RuntimeError:  # pragma: no cover
+        return False
+    return platform in ("tpu", "axon")
+
+
+def nl_means_denoise_u8_single(img: jax.Array) -> jax.Array:
+    """(H, W) single-image wrapper (vmap adds the batch grid dim)."""
+    return nl_means_denoise_u8_pallas(img[None])[0]
+
+
+def nl_means_denoise_u8_pallas(img_batch: jax.Array) -> jax.Array:
+    """img_batch: (B, H, W) int 0..255 -> (B, H, W) int32 denoised."""
+    B, H, W = img_batch.shape
+    ts = TEMPLATE // 2
+    p = SEARCH // 2 + ts
+    Hb = H + 2 * ts
+    x = img_batch.astype(jnp.float32)
+    xpad = jnp.pad(x, ((0, 0), (p, p), (p, p)), mode="reflect")
+    # (B, 21, Hb, W + 2p): the 21 vertical shifts
+    shifts = jnp.stack(
+        [xpad[:, dy : dy + Hb, :] for dy in range(SEARCH)], axis=1
+    )
+    kernel = functools.partial(_kernel, H=H, W=W)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, SEARCH, Hb, W + 2 * p),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+    )(shifts)

@@ -351,7 +351,14 @@ def make_scan_step(p: TrackingParams):
             normed, mn, mx = normalize255(x)
             u8 = normed.astype(jnp.int32)  # np.uint8 cast truncation
             if p.denoise:
-                obj = ops.nl_means_denoise_u8(u8)
+                from classifier_pipeline_tpu.ops import pallas_nlmeans
+
+                if pallas_nlmeans.tpu_backend():
+                    # VMEM-resident Pallas kernel: ~8x the XLA formulation,
+                    # bit-identical output
+                    obj = pallas_nlmeans.nl_means_denoise_u8_single(u8)
+                else:
+                    obj = ops.nl_means_denoise_u8(u8)
             else:
                 obj = u8
             mapped_thresh = jnp.where(
