@@ -224,10 +224,20 @@ class FlaxInterpreter:
         # trip (the TPU may sit behind a high-latency tunnel)
         sw = self.params.square_width
         fs = self.params.frame_size
+        use_mvm = bool(self.params.mvm)
+
+        def _forward(variables, tiles, features):
+            if use_mvm:
+                feats = jnp.broadcast_to(
+                    features[None, :], (tiles.shape[0], features.shape[-1])
+                )
+                return self.model.apply(variables, tiles, feats, train=False)
+            return self.model.apply(variables, tiles, train=False)
 
         @functools.partial(jax.jit, static_argnames=("clip_at_zero", "diff_norm"))
         def fused(variables, thermal, filtered, medians, reg_arr, valid,
-                  track_regs, track_valid, seg_idx, clip_at_zero, diff_norm):
+                  track_regs, track_valid, seg_idx, features, clip_at_zero,
+                  diff_norm):
             if diff_norm:
                 limits = preprocess_jax.filtered_limits_for_track(
                     filtered, track_regs, track_valid
@@ -239,7 +249,7 @@ class FlaxInterpreter:
                 frame_size=fs, clip_at_zero=clip_at_zero,
             )
             tiles = preprocess_jax.tile_segments(frames.tiles, seg_idx, sw)
-            return self.model.apply(variables, tiles, train=False)
+            return _forward(variables, tiles, features)
 
         self._fused_classify = fused
 
@@ -250,10 +260,10 @@ class FlaxInterpreter:
         @functools.partial(jax.jit, static_argnames=("diff_norm",))
         def fused_all(variables, thermal_all_u16, filtered_all, medians_all,
                       clip_idx, reg_arr, valid, track_regs, track_valid,
-                      seg_idx, clip_at_zero, diff_norm):
+                      seg_idx, features, clip_at_zero, diff_norm):
             thermal_all = thermal_all_u16.astype(jnp.float32)
 
-            def one(ci, ra, va, tr, tv, si, caz):
+            def one(ci, ra, va, tr, tv, si, feat, caz):
                 th = thermal_all[ci]
                 fi = filtered_all[:, ci]
                 md = medians_all[ci]
@@ -266,11 +276,11 @@ class FlaxInterpreter:
                     clip_at_zero=caz,
                 )
                 tiles = preprocess_jax.tile_segments(frames.tiles, si, sw)
-                return self.model.apply(variables, tiles, train=False)
+                return _forward(variables, tiles, feat)
 
             return jax.vmap(one)(
                 clip_idx, reg_arr, valid, track_regs, track_valid, seg_idx,
-                clip_at_zero,
+                features, clip_at_zero,
             )
 
         self._fused_classify_all = fused_all
@@ -278,6 +288,11 @@ class FlaxInterpreter:
     def _init_variables(self):
         size = self.params.frame_size * self.params.square_width
         dummy = jnp.zeros((1, size, size, len(self.params.channels)), jnp.float32)
+        if self.params.mvm:
+            from classifier_pipeline_tpu.models.forest import MVM_FEATURE_DIM
+
+            feats = jnp.zeros((1, MVM_FEATURE_DIM), jnp.float32)
+            return self.model.init(jax.random.PRNGKey(0), dummy, feats, train=False)
         return self.model.init(jax.random.PRNGKey(0), dummy, train=False)
 
     def shape(self):
@@ -423,6 +438,30 @@ class FlaxInterpreter:
         masses = [seg.mass for seg in segments]
         return [list(s.frame_indices) for s in segments], preprocessed, masses
 
+    def _track_features(self, clip_ctx, track):
+        """Per-track MVM feature vector (zeros placeholder when mvm off)."""
+        if not self.params.mvm:
+            return np.zeros((1,), np.float32)
+        from classifier_pipeline_tpu.models.forest import (
+            _RemappedRegion,
+            aggregate_track_features,
+            forest_features,
+        )
+
+        thermal = clip_ctx._thermal_np
+        filtered = np.asarray(clip_ctx.filtered)
+        background = clip_ctx.background
+        if background is None:
+            background = np.zeros(thermal.shape[1:], np.float32)
+        regions = [
+            _RemappedRegion(r, clip_ctx.index_of(r.frame_number))
+            for r in track.bounds
+            if not r.blank and r.width > 0 and r.height > 0
+            and clip_ctx.has_frame(r.frame_number)
+        ]
+        pf, _, _ = forest_features(thermal, filtered, background, regions)
+        return aggregate_track_features(pf)
+
     def classify_track_fused(self, clip_ctx, track, segments):
         """One device round trip per track: preprocess + forward fused."""
         tensors = self._segment_tensors(clip_ctx, track, segments)
@@ -439,6 +478,7 @@ class FlaxInterpreter:
             jnp.asarray(tr),
             jnp.asarray(tv),
             jnp.asarray(seg_idx),
+            jnp.asarray(self._track_features(clip_ctx, track)),
             clip_at_zero=clip_at_zero,
             diff_norm=bool(self.params.diff_norm),
         )
@@ -539,6 +579,12 @@ def classify_clip_batch(interpreter, ctxs, track_lists, min_segments=1):
     seg_idx = np.zeros((N, Sb, sw2), np.int32)
     caz = np.zeros((N,), bool)
     clip_idx = np.zeros((N,), np.int32)
+    feat_dim = 1
+    if interpreter.params.mvm:
+        from classifier_pipeline_tpu.models.forest import MVM_FEATURE_DIM
+
+        feat_dim = MVM_FEATURE_DIM
+    features = np.zeros((N, feat_dim), np.float32)
     for i, (ci, track, segments, tensors) in enumerate(jobs):
         ra, va, tra, tva, si, clip_at_zero, S = tensors
         reg_arr[i, : ra.shape[0]] = ra
@@ -548,6 +594,8 @@ def classify_clip_batch(interpreter, ctxs, track_lists, min_segments=1):
         seg_idx[i, : si.shape[0]] = si
         caz[i] = clip_at_zero
         clip_idx[i] = ci
+        if interpreter.params.mvm:
+            features[i] = interpreter._track_features(ctxs[ci], track)
     # stack clip tensors: thermal (B,T,H,W); filtered to (T,B,H,W)
     T = max(int(c._thermal_np.shape[0]) for c in ctxs)
     B = len(ctxs)
@@ -571,7 +619,8 @@ def classify_clip_batch(interpreter, ctxs, track_lists, min_segments=1):
         interpreter.variables, jnp.asarray(thermal_all), filtered_all,
         jnp.asarray(medians_all), jnp.asarray(clip_idx),
         jnp.asarray(reg_arr), jnp.asarray(valid), jnp.asarray(tr),
-        jnp.asarray(tv), jnp.asarray(seg_idx), jnp.asarray(caz),
+        jnp.asarray(tv), jnp.asarray(seg_idx), jnp.asarray(features),
+        jnp.asarray(caz),
         diff_norm=bool(interpreter.params.diff_norm),
     )
     out = np.asarray(out)

@@ -57,5 +57,13 @@ def create_model(prefix, labels=None, model_name="wr-resnet", hyperparams=None,
     model = build_classifier(model_name, len(labels), params=hp)
     size = frame_size * square_width
     dummy = jnp.zeros((1, size, size, len(channels)), jnp.float32)
-    variables = model.init(jax.random.PRNGKey(rng_seed), dummy, train=False)
+    if hp.get("mvm"):
+        from .forest import MVM_FEATURE_DIM
+
+        feats = jnp.zeros((1, MVM_FEATURE_DIM), jnp.float32)
+        variables = model.init(
+            jax.random.PRNGKey(rng_seed), dummy, feats, train=False
+        )
+    else:
+        variables = model.init(jax.random.PRNGKey(rng_seed), dummy, train=False)
     return save_model(prefix, variables, labels, hyperparams=hp)

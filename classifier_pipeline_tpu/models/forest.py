@@ -112,6 +112,22 @@ def forest_features(thermal, filtered, background, regions, buf_len=1):
     return np.array(feats), frames_used, masses
 
 
+def aggregate_track_features(per_frame: np.ndarray) -> np.ndarray:
+    """Per-track MVM feature vector: [avg, std, max, min, diff] over each
+    per-frame feature (the reference aggregates its per-frame stats the same
+    way; forestmodel.py EXTRA=['avg','std','max','min','diff'])."""
+    if per_frame is None or len(per_frame) == 0:
+        return np.zeros(5 * len(FEATURE_NAMES), np.float32)
+    pf = np.asarray(per_frame, np.float64)
+    agg = np.concatenate(
+        [pf.mean(0), pf.std(0), pf.max(0), pf.min(0), pf.max(0) - pf.min(0)]
+    )
+    return agg.astype(np.float32)
+
+
+MVM_FEATURE_DIM = 5 * len(FEATURE_NAMES)
+
+
 class Forest:
     """Array-form decision forest: predict_proba via per-tree traversal."""
 

@@ -70,4 +70,5 @@ def build_classifier(
         dropout=dropout,
         multi_label=multi_label,
         logits_only=logits_only,
+        mvm=bool(params.get("mvm", False)),
     )

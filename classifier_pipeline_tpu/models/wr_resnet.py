@@ -109,7 +109,9 @@ class WRResNet(nn.Module):
 
 
 class Classifier(nn.Module):
-    """Backbone + head (reference kerasmodel.build_model:259-378)."""
+    """Backbone + head (reference kerasmodel.build_model:259-378), with the
+    optional MVM movement-feature branch (dense 128-128 over per-track
+    statistical features concatenated with the GAP embedding)."""
 
     backbone: nn.Module
     num_labels: int
@@ -117,12 +119,20 @@ class Classifier(nn.Module):
     dropout: float = 0.3
     multi_label: bool = True
     logits_only: bool = False
+    mvm: bool = False
 
     @nn.compact
-    def __call__(self, x, *, train: bool = False):
+    def __call__(self, x, features=None, *, train: bool = False):
         x = self.backbone(x, train=train)
         x = jnp.mean(x, axis=(1, 2))  # GlobalAveragePooling2D
         x = x.astype(jnp.float32)
+        if self.mvm:
+            if features is None:
+                raise ValueError("mvm model requires a features input")
+            f = nn.relu(nn.Dense(128, name="mvm_dense_0")(features))
+            f = nn.relu(nn.Dense(128, name="mvm_dense_1")(f))
+            f = nn.Dropout(0.1, deterministic=not train)(f)
+            x = jnp.concatenate([x, f], axis=-1)
         if self.dense_sizes:
             for i, size in enumerate(self.dense_sizes):
                 x = nn.relu(nn.Dense(size, name=f"dense_{i}")(x))
