@@ -597,15 +597,24 @@ def classify_clip_batch(interpreter, ctxs, track_lists, min_segments=1):
         if interpreter.params.mvm:
             features[i] = interpreter._track_features(ctxs[ci], track)
     # stack clip tensors: thermal (B,T,H,W); filtered to (T,B,H,W)
-    T = max(int(c._thermal_np.shape[0]) for c in ctxs)
     B = len(ctxs)
     H, W = ctxs[0]._thermal_np.shape[1:]
-    thermal_all = np.zeros((B, T, H, W), np.uint16)
+    dev_thermals = [getattr(c, "thermal_dev16", None) for c in ctxs]
+    if all(d is not None for d in dev_thermals):
+        # reuse the tracking scan's device-resident upload (already padded
+        # to a common T bucket)
+        T = int(dev_thermals[0].shape[0])
+        thermal_all = jnp.stack(dev_thermals)
+    else:
+        T = max(int(c._thermal_np.shape[0]) for c in ctxs)
+        thermal_all = np.zeros((B, T, H, W), np.uint16)
+        for ci, ctx in enumerate(ctxs):
+            t = int(ctx._thermal_np.shape[0])
+            thermal_all[ci, :t] = np.asarray(ctx._thermal_np, np.uint16)
     medians_all = np.zeros((B, T), np.float32)
     fil = []
     for ci, ctx in enumerate(ctxs):
         t = int(ctx._thermal_np.shape[0])
-        thermal_all[ci, :t] = np.asarray(ctx._thermal_np, np.uint16)
         medians_all[ci, :t] = ctx._medians_np
         f = ctx.filtered
         if f.shape[0] < T:

@@ -161,9 +161,9 @@ class ClipClassifier:
         ctxs = []
         for res in results:
             thermal = res.clip.pixels[~res.clip.is_background]
-            ctxs.append(
-                ClipContext(thermal, res.rows.filtered, self._ffc_frames(res))
-            )
+            ctx = ClipContext(thermal, res.rows.filtered, self._ffc_frames(res))
+            ctx.thermal_dev16 = res.thermal_dev16  # reuse the scan's upload
+            ctxs.append(ctx)
         metas = []
         all_preds = {}
         for model in self.models:

@@ -59,6 +59,7 @@ class ExtractResult:
     rows: object = None  # stacked FrameRows (for classification reuse)
     clip: object = None  # CptvClip
     background: np.ndarray | None = None
+    thermal_dev16: object = None  # (T, H, W) u16 device array (batch path)
 
 
 class ClipTrackExtractor:
@@ -141,6 +142,8 @@ class ClipTrackExtractor:
                     Path(paths[i]), clip, camera_model, params_i, thermal,
                     rows, carry, start, clip_id=clip_id,
                 )
+                # device-resident thermal for downstream classification
+                results[i].thermal_dev16 = getattr(carry, "thermal_dev16", None)
         return results
 
     def extract(self, path, process_background=False) -> ExtractResult:

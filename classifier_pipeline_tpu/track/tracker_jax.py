@@ -916,7 +916,8 @@ def track_clips_batch(
         bg = backgrounds[i] if backgrounds is not None else thermal[0]
         carries.append(init_carry(params, bg))
     carry0 = jax.tree.map(lambda *xs: np.stack(xs), *carries)
-    carry, rows = _track_scan_batch(params, carry0, th, ffc_pad)
+    th_dev = jnp.asarray(th)  # keep: classification reuses it on device
+    carry, rows = _track_scan_batch(params, carry0, th_dev, ffc_pad)
     rows = fetch_rows(rows)
     # the carry stays on device except the background (its only host
     # consumer); a full device_get costs one tunnel round trip per leaf
@@ -925,7 +926,9 @@ def track_clips_batch(
     for i, thermal in enumerate(thermals):
         t = thermal.shape[0]
         clip_rows = jax.tree.map(lambda a: a[:t, i], rows)
-        out.append((clip_rows, _HostCarry(backgrounds_np[i])))
+        host_carry = _HostCarry(backgrounds_np[i])
+        host_carry.thermal_dev16 = th_dev[i]  # (T, H, W) u16 device slice
+        out.append((clip_rows, host_carry))
     return out
 
 
