@@ -49,6 +49,25 @@ def threshold_for_model(camera_model):
     return t
 
 
+def clip_stats(thermal: np.ndarray) -> dict:
+    """reference ClipStats (clip.py:455-501): per-frame min/max/median/mean
+    and aggregates, vectorized."""
+    t = thermal.astype(np.float64)
+    mins = t.min(axis=(1, 2))
+    maxs = t.max(axis=(1, 2))
+    medians = np.median(t, axis=(1, 2))
+    means = t.mean(axis=(1, 2))
+    return {
+        "frame_stats_min": mins.tolist(),
+        "frame_stats_max": maxs.tolist(),
+        "frame_stats_median": medians.tolist(),
+        "frame_stats_mean": means.tolist(),
+        "min_temp": float(mins.min()),
+        "max_temp": float(maxs.max()),
+        "mean_temp": float(np.mean(np.uint16(means))),
+    }
+
+
 @dataclasses.dataclass
 class ExtractResult:
     metadata: dict

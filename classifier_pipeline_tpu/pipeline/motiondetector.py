@@ -18,6 +18,70 @@ import numpy as np
 FFC_PERIOD = datetime.timedelta(seconds=9.9)
 
 
+class IRMotionDetector:
+    """IR camera motion detection (reference irmotiondetector.py): a rolling
+    background plus the erosion trigger from the shared Background logic."""
+
+    def __init__(self, thermal_config, headers):
+        from classifier_pipeline_tpu.track.ir_background import IRBackground
+
+        self.headers = headers
+        self.config = thermal_config.motion
+        self.rec_window = thermal_config.recorder.rec_window
+        self.use_low_power_mode = thermal_config.recorder.use_low_power_mode
+        self.num_preview_frames = thermal_config.recorder.preview_secs * headers.fps
+        self.window = SlidingWindow(self.num_preview_frames + 1)
+        self._background = IRBackground()
+        self.movement_detected = False
+        self.ffc_affected = False
+        self.num_frames = 0
+        self.processed = 0
+
+    @property
+    def calibrating(self):
+        return False
+
+    @property
+    def background(self):
+        return self._background.background
+
+    @property
+    def temp_thresh(self):
+        return 0
+
+    def preview_frames(self):
+        return self.window.get_frames()[:-1]
+
+    def get_recent_frame(self):
+        return self.window.current
+
+    def can_record(self):
+        inside = self.rec_window.inside_window() if self.rec_window else True
+        return inside and not self.use_low_power_mode
+
+    def disconnected(self):
+        self.window.reset()
+        self.processed = 0
+
+    def process_frame(self, frame, force_process=False):
+        import numpy as np
+
+        pix = frame.pix if hasattr(frame, "pix") else frame
+        if len(pix.shape) == 3:
+            pix = pix.mean(axis=2).astype(pix.dtype)
+        if self.can_record() or force_process:
+            self.window.add(frame)
+            self._background.update_background(pix)
+            if self.processed > 5:
+                self.movement_detected = self._background.detect_motion()
+            self.processed += 1
+        else:
+            self.window.update_current_frame(frame)
+            self.movement_detected = False
+        self.num_frames += 1
+        return self.movement_detected
+
+
 def is_affected_by_ffc(frame) -> bool:
     """reference cptvmotiondetector.py:211-223, including the int-milliseconds
     unit quirk (diff_ms < FFC_PERIOD.seconds)."""
