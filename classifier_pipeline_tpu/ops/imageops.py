@@ -202,32 +202,46 @@ def connected_components_stats(
     H, W = mask.shape
     fg = mask > 0
     BIG = jnp.int32(H * W)
-    iota = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W + jax.lax.broadcasted_iota(
-        jnp.int32, (H, W), 1
-    )
-    lab0 = jnp.where(fg, iota, BIG)
-    bg = ~fg
 
-    def relax(lab):
-        m = jnp.where(fg, _masked_neighbor_min(lab, BIG), BIG)
-        m = jnp.minimum(m, lab)
-        m = jnp.where(fg, m, BIG)
-        m = _segmented_min_scan(m, bg, axis=1, reverse=False)
-        m = _segmented_min_scan(m, bg, axis=1, reverse=True)
-        m = _segmented_min_scan(m, bg, axis=0, reverse=False)
-        m = _segmented_min_scan(m, bg, axis=0, reverse=True)
-        return jnp.where(fg, m, BIG)
+    use_pallas = False
+    try:
+        use_pallas = jax.devices()[0].platform.lower() in ("tpu", "axon")
+    except RuntimeError:  # pragma: no cover
+        pass
+    if use_pallas:
+        # VMEM-resident fixpoint kernel (exact; ~3x the XLA loop)
+        from classifier_pipeline_tpu.ops.pallas_ccl import (
+            ccl_labels_pallas_single,
+        )
 
-    def cond(state):
-        lab, prev_lab, it = state
-        return (it < H * W) & jnp.any(lab != prev_lab)
+        lab = ccl_labels_pallas_single(mask)
+    else:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W + (
+            jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+        )
+        lab0 = jnp.where(fg, iota, BIG)
+        bg = ~fg
 
-    def body(state):
-        lab, _, it = state
-        return relax(lab), lab, it + 1
+        def relax(lab):
+            m = jnp.where(fg, _masked_neighbor_min(lab, BIG), BIG)
+            m = jnp.minimum(m, lab)
+            m = jnp.where(fg, m, BIG)
+            m = _segmented_min_scan(m, bg, axis=1, reverse=False)
+            m = _segmented_min_scan(m, bg, axis=1, reverse=True)
+            m = _segmented_min_scan(m, bg, axis=0, reverse=False)
+            m = _segmented_min_scan(m, bg, axis=0, reverse=True)
+            return jnp.where(fg, m, BIG)
 
-    lab1 = relax(lab0)
-    lab, _, _ = jax.lax.while_loop(cond, body, (lab1, lab0, jnp.int32(0)))
+        def cond(state):
+            lab, prev_lab, it = state
+            return (it < H * W) & jnp.any(lab != prev_lab)
+
+        def body(state):
+            lab, _, it = state
+            return relax(lab), lab, it + 1
+
+        lab1 = relax(lab0)
+        lab, _, _ = jax.lax.while_loop(cond, body, (lab1, lab0, jnp.int32(0)))
 
     # Representative labels = min pixel index per component. Collect the first
     # K in ascending label order via a scatter-min histogram trick: mark which

@@ -1,0 +1,117 @@
+"""Connected-component label propagation as a Pallas TPU kernel.
+
+The XLA fixpoint loop (ops.connected_components_stats) spends ~10ms/frame-
+batch in dozens of small associative-scan kernels per relaxation round. This
+kernel runs the whole iterate-to-fixpoint in VMEM: labels are seeded with
+the raster index, each round does an 8-neighbour min plus four segmented
+min-scans implemented as Hillis-Steele doubling with `pltpu.roll` shifts,
+and a while_loop exits as soon as the labels stop changing.
+
+Output: per-pixel component label == raster index of the component's first
+pixel (same convention as the XLA path; exact for any mask shape).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _shift_with_fill(x, k, axis, fill):
+    """Non-circular shift by +k along axis (brings values from index i-k).
+    pltpu.roll requires non-negative shifts; negative k wraps around."""
+    n = x.shape[axis]
+    rolled = pltpu.roll(x, k if k >= 0 else n + k, axis=axis)
+    if axis == 0:
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    else:
+        idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    if k >= 0:
+        valid = idx >= k
+    else:
+        valid = idx < n + k
+    return jnp.where(valid, rolled, fill)
+
+
+def _segmented_min_dir(v, is_bg, axis, reverse, big):
+    """Segmented min-scan along axis via Hillis-Steele doubling: values
+    propagate within runs of foreground, resetting at background pixels.
+    Flags travel as int32 (Mosaic's roll only supports 32-bit data)."""
+    n = v.shape[axis]
+    flag = is_bg.astype(jnp.int32)
+    k = 1
+    while k < n:
+        kk = -k if reverse else k
+        v_sh = _shift_with_fill(v, kk, axis, big)
+        f_sh = _shift_with_fill(flag, kk, axis, jnp.int32(1))
+        blocked = flag > 0
+        v = jnp.where(blocked, v, jnp.minimum(v, v_sh))
+        flag = jnp.maximum(flag, f_sh)
+        k *= 2
+    return v
+
+
+def _kernel(mask_ref, lab_ref, *, H, W):
+    fg = mask_ref[0] > 0
+    bg = ~fg
+    BIG = jnp.int32(H * W)
+    iota = (
+        jax.lax.broadcasted_iota(jnp.int32, (H, W), 0) * W
+        + jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    )
+    lab0 = jnp.where(fg, iota, BIG)
+
+    def relax(lab):
+        m = lab
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                sh = _shift_with_fill(lab, dy, 0, BIG)
+                sh = _shift_with_fill(sh, dx, 1, BIG)
+                m = jnp.minimum(m, sh)
+        m = jnp.where(fg, m, BIG)
+        m = _segmented_min_dir(m, bg, 1, False, BIG)
+        m = _segmented_min_dir(m, bg, 1, True, BIG)
+        m = _segmented_min_dir(m, bg, 0, False, BIG)
+        m = _segmented_min_dir(m, bg, 0, True, BIG)
+        return jnp.where(fg, m, BIG)
+
+    def cond(state):
+        lab, prev, it = state
+        return (it < H * W) & jnp.any(lab != prev)
+
+    def body(state):
+        lab, _, it = state
+        return relax(lab), lab, it + 1
+
+    lab1 = relax(lab0)
+    lab, _, _ = jax.lax.while_loop(cond, body, (lab1, lab0, jnp.int32(0)))
+    lab_ref[0] = lab
+
+
+def ccl_labels_pallas(mask: jax.Array) -> jax.Array:
+    """mask: (B, H, W) int (0/255) -> (B, H, W) int32 labels (BIG=H*W for
+    background)."""
+    B, H, W = mask.shape
+    kernel = functools.partial(_kernel, H=H, W=W)
+    return pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+    )(mask.astype(jnp.int32))
+
+
+def ccl_labels_pallas_single(mask: jax.Array) -> jax.Array:
+    return ccl_labels_pallas(mask[None])[0]
