@@ -397,3 +397,87 @@ def calculate_mass(filtered_f32: jax.Array, threshold: jax.Array) -> jax.Array:
     th = gaussian_blur5_f32(filtered_f32)
     keep = (th - threshold) >= 0
     return jnp.sum(keep & (th > 0), dtype=jnp.int32)
+
+
+def _hist60_bbox(img: jax.Array, x, y, w, h) -> jax.Array:
+    """cv2.calcHist([img], bins=60, range=[0,255]) over a bbox, then
+    cv2.normalize(NORM_MINMAX, 0..1). Uniform bins over [0,255): value v maps
+    to floor(v*60/255); v outside [0,255) is dropped (cv2 range semantics)."""
+    H, W = img.shape
+    ys = jnp.arange(H)[:, None]
+    xs = jnp.arange(W)[None, :]
+    inside = (ys >= y) & (ys < y + h) & (xs >= x) & (xs < x + w)
+    v = img.astype(jnp.float32)
+    idx = jnp.floor(v * (60.0 / 255.0)).astype(jnp.int32)
+    ok = inside & (v >= 0) & (idx < 60) & (idx >= 0)
+    idx = jnp.where(ok, idx, 60)
+    hist = jnp.zeros((61,), jnp.float32).at[idx.reshape(-1)].add(
+        ok.reshape(-1).astype(jnp.float32)
+    )[:60]
+    mn, mx = jnp.min(hist), jnp.max(hist)
+    scale = jnp.where(mx - mn > 0, 1.0 / jnp.where(mx - mn > 0, mx - mn, 1.0), 0.0)
+    return (hist - mn) * scale
+
+
+def hist_diff_bbox(
+    background: jax.Array, thermal: jax.Array, x, y, w, h
+) -> jax.Array:
+    """reference imageprocessing.hist_diff (src/ml_tools/imageprocessing.py:264-302):
+    60-bin histograms of the region's background/thermal crops, minmax-normalized,
+    compared with cv2.compareHist(..., 0) (Pearson correlation).
+
+    Used by the optional min_hist_diff matching gate
+    (src/track/cliptracker.py:168-185). Returns the correlation scalar.
+    """
+    ha = _hist60_bbox(thermal, x, y, w, h)
+    hb = _hist60_bbox(background, x, y, w, h)
+    am, bm = jnp.mean(ha), jnp.mean(hb)
+    da, db = ha - am, hb - bm
+    num = jnp.sum(da * db)
+    den = jnp.sqrt(jnp.sum(da * da) * jnp.sum(db * db))
+    # cv2 returns 1.0 when both histograms are constant (den ~ 0)
+    return jnp.where(jnp.abs(den) > 1e-12, num / jnp.where(den > 0, den, 1.0), 1.0)
+
+
+def inpaint_diffusion(img: jax.Array, mask: jax.Array, iters: int = 64) -> jax.Array:
+    """Fill mask>0 pixels by harmonic interpolation from their surroundings.
+
+    TPU-friendly stand-in for cv2.inpaint(..., INPAINT_TELEA, 3) as used by the
+    (upstream-disabled) background-animal removal (reference
+    src/track/clip.py:296-305): Jacobi iterations of 4-neighbour averaging over
+    the masked set, which solves the same Laplace problem Telea's marching
+    method approximates for small regions.
+    """
+    img = img.astype(jnp.float32)
+    hole = mask > 0
+    # seed holes with the unmasked mean so iteration starts near the answer
+    seed = jnp.sum(jnp.where(hole, 0.0, img)) / jnp.maximum(
+        jnp.sum(~hole), 1
+    )
+    x0 = jnp.where(hole, seed, img)
+
+    def body(_, x):
+        up = jnp.concatenate([x[:1], x[:-1]], axis=0)
+        dn = jnp.concatenate([x[1:], x[-1:]], axis=0)
+        lf = jnp.concatenate([x[:, :1], x[:, :-1]], axis=1)
+        rt = jnp.concatenate([x[:, 1:], x[:, -1:]], axis=1)
+        avg = (up + dn + lf + rt) * 0.25
+        return jnp.where(hole, avg, x)
+
+    return jax.lax.fori_loop(0, iters, body, x0)
+
+
+def otsu_threshold_u8(img: jax.Array) -> jax.Array:
+    """cv2 THRESH_OTSU threshold on u8 data (first argmax of between-class
+    variance over the 256-bin histogram), for detect_objects(otsus=True)
+    (reference src/ml_tools/imageprocessing.py:244-246)."""
+    flat = img.reshape(-1).astype(jnp.int32)
+    hist = jnp.zeros((256,), jnp.float32).at[flat].add(1.0)
+    n = flat.shape[0]
+    p = hist / n
+    omega = jnp.cumsum(p)
+    mu = jnp.cumsum(p * jnp.arange(256, dtype=jnp.float32))
+    mu_t = mu[-1]
+    denom = omega * (1.0 - omega)
+    sigma = jnp.where(denom > 1e-12, (mu_t * omega - mu) ** 2 / jnp.where(denom > 0, denom, 1.0), 0.0)
+    return jnp.argmax(sigma).astype(jnp.float32)

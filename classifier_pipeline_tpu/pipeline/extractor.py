@@ -110,6 +110,8 @@ class ClipTrackExtractor:
             background_thresh=float(th["background_thresh"]),
             weight_add=weight_add,
             denoise=tracking.get("denoise", True),
+            filter_regions_pre_match=tracking.get("filter_regions_pre_match", True),
+            min_hist_diff=tracking.get("min_hist_diff", None),
             max_track_slots=tracking.get("max_track_slots", 24),
             max_region_slots=tracking.get("max_region_slots", 16),
             emit_filtered=self.emit_filtered,

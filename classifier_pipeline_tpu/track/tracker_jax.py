@@ -56,6 +56,10 @@ class TrackingParams:
     aoi_pixel_variance: float = 2.0
     cropped_regions_strategy: str = "cautious"
     filter_regions_pre_match: bool = True
+    # optional histogram-similarity matching gate (reference
+    # cliptracker.py:167-185; default None = off, template keeps it off too).
+    # Only consulted when filter_regions_pre_match is False, like the reference.
+    min_hist_diff: float | None = None
     fps: float = 9.0
     # RegionTracker params (thermal)
     base_distance_change: float = 450.0
@@ -439,6 +443,21 @@ def make_scan_step(p: TrackingParams):
 
         slots = carry.slots
 
+        # post-match blank gates (reference _match_existing_tracks
+        # cliptracker.py:167-201: when regions are NOT pre-filtered, a matched
+        # region that fails the hist/variance/mass checks consumes the region
+        # but blanks the track instead of extending it)
+        post_gates = not p.filter_regions_pre_match
+        if post_gates and p.min_hist_diff is not None:
+            hist_bg = bg.astype(jnp.float32)
+            hist_v = jax.vmap(
+                lambda x_, y_, w_, h_: ops.hist_diff_bbox(
+                    hist_bg, thermal, x_, y_, w_, h_
+                )
+            )(reg["x"], reg["y"], reg["w"], reg["h"])
+        else:
+            hist_v = None
+
         # =====================================================================
         # matching (skipped entirely on FFC frames: tracks dropped, no blanks)
         # =====================================================================
@@ -509,8 +528,13 @@ def make_scan_step(p: TrackingParams):
         BIGF = jnp.float32(3.4e38)
 
         def greedy_body(i, st):
-            t_matched, r_used, match_r = st
-            elig = eligible & ~t_matched[:, None] & ~r_used[None, :]
+            t_matched, t_blanked, r_used, match_r = st
+            elig = (
+                eligible
+                & ~t_matched[:, None]
+                & ~t_blanked[:, None]
+                & ~r_used[None, :]
+            )
             any_e = jnp.any(elig)
             sc = jnp.where(elig, score, BIGF)
             smin = jnp.min(sc)
@@ -520,16 +544,30 @@ def make_scan_step(p: TrackingParams):
             cand = cand & (tiem == tmin)
             flat = jnp.argmax(cand.reshape(-1))  # first True in row-major
             ti, ri = flat // KR, flat % KR
-            t_matched = jnp.where(any_e, t_matched.at[ti].set(True), t_matched)
+            if post_gates:
+                fail = (reg["var"][ri] < p.aoi_pixel_variance) | (
+                    reg["mass"][ri].astype(jnp.float32) < p.aoi_min_mass
+                )
+                if hist_v is not None:
+                    fail = fail | (hist_v[ri] > p.min_hist_diff)
+            else:
+                fail = jnp.bool_(False)
+            t_matched = jnp.where(
+                any_e & ~fail, t_matched.at[ti].set(True), t_matched
+            )
+            t_blanked = jnp.where(
+                any_e & fail, t_blanked.at[ti].set(True), t_blanked
+            )
             r_used = jnp.where(any_e, r_used.at[ri].set(True), r_used)
-            match_r = jnp.where(any_e, match_r.at[ti].set(ri), match_r)
-            return t_matched, r_used, match_r
+            match_r = jnp.where(any_e & ~fail, match_r.at[ti].set(ri), match_r)
+            return t_matched, t_blanked, r_used, match_r
 
         t_matched0 = jnp.zeros((KT,), jnp.bool_)
+        t_blanked0 = jnp.zeros((KT,), jnp.bool_)
         r_used0 = jnp.zeros((KR,), jnp.bool_)
         match_r0 = jnp.full((KT,), -1, jnp.int32)
-        t_matched, r_used, match_r = jax.lax.fori_loop(
-            0, KT, greedy_body, (t_matched0, r_used0, match_r0)
+        t_matched, _t_blanked, r_used, match_r = jax.lax.fori_loop(
+            0, KT, greedy_body, (t_matched0, t_blanked0, r_used0, match_r0)
         )
 
         # ---- new tracks from unmatched regions ------------------------------
