@@ -14,7 +14,7 @@ TPU notes: convs run in bfloat16 on the MXU with float32 accumulation
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
@@ -108,6 +108,39 @@ class WRResNet(nn.Module):
         return nn.relu(x)
 
 
+class LSTMClassifier(nn.Module):
+    """Temporal variant (reference kerasmodel.add_lstm:775-791): the CNN
+    backbone runs per frame (TimeDistributed), a GAP+dense embedding feeds an
+    LSTM, then dense 1024 -> 512 -> softmax. Input (N, T, H, W, C)."""
+
+    backbone: nn.Module
+    num_labels: int
+    lstm_units: int = 512
+    dense_sizes: Sequence[int] | None = None
+    dropout: float = 0.2  # keras LSTM(dropout=keep_prob) input dropout
+    logits_only: bool = False
+    preprocess_fn: Any = None
+
+    @nn.compact
+    def __call__(self, x, *, train: bool = False):
+        n, t = x.shape[0], x.shape[1]
+        if self.preprocess_fn is not None:
+            x = self.preprocess_fn(x)
+        frames = x.reshape((n * t,) + x.shape[2:])
+        feats = self.backbone(frames, train=train)
+        feats = jnp.mean(feats, axis=(1, 2)).astype(jnp.float32)
+        for i, size in enumerate(self.dense_sizes or ()):
+            feats = nn.relu(nn.Dense(size, name=f"dense_{i}")(feats))
+        feats = feats.reshape(n, t, feats.shape[-1])
+        feats = nn.Dropout(self.dropout, deterministic=not train)(feats)
+        lstm = nn.RNN(nn.OptimizedLSTMCell(self.lstm_units), name="lstm")
+        hidden = lstm(feats)[:, -1]  # return_state=False -> last output
+        h = nn.relu(nn.Dense(1024, name="head_0")(hidden))
+        h = nn.relu(nn.Dense(512, name="head_1")(h))
+        logits = nn.Dense(self.num_labels, name="pred")(h)
+        return logits if self.logits_only else nn.softmax(logits, axis=-1)
+
+
 class Classifier(nn.Module):
     """Backbone + head (reference kerasmodel.build_model:259-378), with the
     optional MVM movement-feature branch (dense 128-128 over per-track
@@ -120,9 +153,16 @@ class Classifier(nn.Module):
     multi_label: bool = True
     logits_only: bool = False
     mvm: bool = False
+    # keras-style per-model input preprocessing (reference
+    # interpreter.get_preprocess_fn :64-100 / kerasmodel.build_model stores
+    # the fn next to the backbone); None = passthrough (wr-resnet,
+    # efficientnet whose normalization lives in-model upstream)
+    preprocess_fn: Any = None
 
     @nn.compact
     def __call__(self, x, features=None, *, train: bool = False):
+        if self.preprocess_fn is not None:
+            x = self.preprocess_fn(x)
         x = self.backbone(x, train=train)
         x = jnp.mean(x, axis=(1, 2))  # GlobalAveragePooling2D
         x = x.astype(jnp.float32)
