@@ -51,10 +51,11 @@ BACKBONES = {
     "efficientnetb1": lambda params, dtype: zoo.EfficientNet(1.0, 1.1, compute_dtype=dtype),
     "efficientnetb5": lambda params, dtype: zoo.EfficientNet(1.6, 2.2, compute_dtype=dtype),
     "efficientnetv2b3": lambda params, dtype: zoo.EfficientNetV2(1.2, 1.4, compute_dtype=dtype),
+    "nasnet": lambda params, dtype: zoo.NASNetLarge(compute_dtype=dtype),
 }
 
 # reference zoo names not yet natively ported — fail loudly, not silently
-PENDING_BACKBONES = ["nasnet"]
+PENDING_BACKBONES: list[str] = []
 
 
 def build_classifier(

@@ -933,3 +933,148 @@ PREPROCESS["efficientnetb0"] = _preprocess_effnet_v1
 PREPROCESS["efficientnetb1"] = _preprocess_effnet_v1
 PREPROCESS["efficientnetb5"] = _preprocess_effnet_v1
 PREPROCESS["efficientnetv2b3"] = _preprocess_effnet_v2bx
+
+
+# ---------------------------------------------------------------------------
+# NASNet-A Large (keras nasnet.py: penultimate 4032, 6 blocks, stem 96,
+# skip_reduction=True, filter_multiplier=2). BN eps 1e-3 mom .9997 (shape-
+# irrelevant); separable blocks are [relu, sepconv, BN] x2, all bias-free.
+# ---------------------------------------------------------------------------
+
+
+class _SepConvBlock(nn.Module):
+    filters: int
+    kernel: int = 3
+    stride: int = 1
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        dt = self.compute_dtype
+        x = nn.relu(x)
+        if self.stride == 2:
+            x = _zeropad(x, _correct_pad(x, self.kernel))
+            pad = "VALID"
+        else:
+            pad = "SAME"
+        cin = x.shape[-1]
+        x = nn.Conv(cin, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding=pad,
+                    feature_group_count=cin, use_bias=False, dtype=dt,
+                    name="dw1")(x)
+        x = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=dt, name="pw1")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=dt, name="bn1")(x)
+        x = nn.relu(x)
+        cin = x.shape[-1]
+        x = nn.Conv(cin, (self.kernel, self.kernel), padding="SAME",
+                    feature_group_count=cin, use_bias=False, dtype=dt,
+                    name="dw2")(x)
+        x = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=dt, name="pw2")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=dt, name="bn2")(x)
+        return x
+
+
+class _NASNetCell(nn.Module):
+    """One NASNet-A cell (normal or reduction) incl. the p-adjust block."""
+
+    filters: int
+    reduction: bool = False
+    compute_dtype: jnp.dtype = jnp.float32
+
+    def _adjust(self, p, ip, *, train):
+        dt = self.compute_dtype
+        bn = lambda name: nn.BatchNorm(use_running_average=not train, dtype=dt,
+                                       name=name)
+        if p is None:
+            return ip
+        if p.shape[1] != ip.shape[1]:
+            p = nn.relu(p)
+            p1 = _avgpool(p, 1, 2)
+            p1 = nn.Conv(self.filters // 2, (1, 1), use_bias=False, dtype=dt,
+                         name="adjust_conv_1")(p1)
+            p2 = _zeropad(p, ((0, 1), (0, 1)))[:, 1:, 1:, :]
+            p2 = _avgpool(p2, 1, 2)
+            p2 = nn.Conv(self.filters // 2, (1, 1), use_bias=False, dtype=dt,
+                         name="adjust_conv_2")(p2)
+            p = jnp.concatenate([p1, p2], axis=-1)
+            return bn("adjust_bn")(p)
+        if p.shape[-1] != self.filters:
+            p = nn.relu(p)
+            p = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=dt,
+                        name="adjust_conv_projection")(p)
+            return bn("adjust_bn")(p)
+        return p
+
+    @nn.compact
+    def __call__(self, ip, p, *, train: bool):
+        dt = self.compute_dtype
+        f = self.filters
+        p = self._adjust(p, ip, train=train)
+        h = nn.relu(ip)
+        h = nn.Conv(f, (1, 1), use_bias=False, dtype=dt, name="conv_1")(h)
+        h = nn.BatchNorm(use_running_average=not train, dtype=dt, name="bn_1")(h)
+        sep = lambda k, s, name: _SepConvBlock(
+            filters=f, kernel=k, stride=s, compute_dtype=dt, name=name
+        )
+        if not self.reduction:
+            x1 = sep(5, 1, "left1")(h, train=train) + sep(3, 1, "right1")(
+                p, train=train
+            )
+            x2 = sep(5, 1, "left2")(p, train=train) + sep(3, 1, "right2")(
+                p, train=train
+            )
+            x3 = _avgpool(h, 3, 1, "SAME") + p
+            x4 = _avgpool(p, 3, 1, "SAME") + _avgpool(p, 3, 1, "SAME")
+            x5 = sep(3, 1, "left5")(h, train=train) + h
+            return jnp.concatenate([p, x1, x2, x3, x4, x5], axis=-1), ip
+        h3 = _zeropad(h, _correct_pad(h, 3))
+        x1 = sep(5, 2, "left1")(h, train=train) + sep(7, 2, "right1")(
+            p, train=train
+        )
+        x2 = _maxpool(h3, 3, 2) + sep(7, 2, "right2")(p, train=train)
+        x3 = _avgpool(h3, 3, 2) + sep(5, 2, "right3")(p, train=train)
+        x4 = x2 + _avgpool(x1, 3, 1, "SAME")
+        x5 = sep(3, 1, "left5")(x1, train=train) + _maxpool(h3, 3, 2)
+        return jnp.concatenate([x2, x3, x4, x5], axis=-1), ip
+
+
+class NASNetLarge(nn.Module):
+    penultimate_filters: int = 4032
+    num_blocks: int = 6
+    stem_filters: int = 96
+    filter_multiplier: int = 2
+    compute_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, train: bool):
+        dt = self.compute_dtype
+        filters = self.penultimate_filters // 24
+        fm = self.filter_multiplier
+        x = x.astype(dt)
+        x = nn.Conv(self.stem_filters, (3, 3), strides=(2, 2), padding="VALID",
+                    use_bias=False, dtype=dt, name="stem_conv1")(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=dt,
+                         name="stem_bn1")(x)
+        p = None
+        cell = lambda f, red, name: _NASNetCell(
+            filters=f, reduction=red, compute_dtype=dt, name=name
+        )
+        x, p = cell(filters // (fm**2), True, "stem_1")(x, p, train=train)
+        x, p = cell(filters // fm, True, "stem_2")(x, p, train=train)
+        for i in range(self.num_blocks):
+            x, p = cell(filters, False, f"normal_{i}")(x, p, train=train)
+        x, p0 = cell(filters * fm, True, f"reduce_{self.num_blocks}")(
+            x, p, train=train
+        )
+        del p0  # skip_reduction=True keeps the pre-reduction p
+        for i in range(self.num_blocks):
+            x, p = cell(filters * fm, False,
+                        f"normal_{self.num_blocks + i + 1}")(x, p, train=train)
+        x, p0 = cell(filters * fm**2, True, f"reduce_{2 * self.num_blocks}")(
+            x, p, train=train
+        )
+        del p0
+        for i in range(self.num_blocks):
+            x, p = cell(filters * fm**2, False,
+                        f"normal_{2 * self.num_blocks + i + 1}")(x, p, train=train)
+        return nn.relu(x)

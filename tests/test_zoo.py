@@ -30,6 +30,7 @@ KERAS_CASES = [
     ("efficientnetb1", "EfficientNetB1", 160, 7),
     ("efficientnetb5", "EfficientNetB5", 160, 7),
     ("efficientnetv2b3", "EfficientNetV2B3", 160, 0),
+    ("nasnet", "NASNetLarge", 331, 0),
 ]
 
 
