@@ -122,3 +122,44 @@ def test_timewindow():
     rise, set_ = sun_times(datetime.date(2026, 1, 1), -43.5, 172.6)
     assert 16 <= rise.hour <= 18  # UTC
     assert 7 <= set_.hour <= 9  # UTC next day evening local
+
+
+def test_framecache_roundtrip(tmp_path):
+    """FrameCache HDF5 spill (reference framecache.py): channel stacks round
+    trip, flow is stored clipped (x256) and restored."""
+    import numpy as np
+
+    from classifier_pipeline_tpu.data.framecache import Frame, FrameBuffer
+
+    rng = np.random.default_rng(0)
+    buf = FrameBuffer(str(tmp_path / "clip.cptv"), cache_to_disk=True)
+    th = rng.uniform(2800, 3200, (120, 160)).astype(np.float32)
+    fl = rng.normal(0, 5, (120, 160)).astype(np.float32)
+    mask = (rng.uniform(size=(120, 160)) > 0.9).astype(np.float32)
+    f = Frame(thermal=th, filtered=fl, mask=mask, frame_number=7,
+              ffc_affected=True)
+    f.flow = rng.normal(0, 2, (120, 160, 2)).astype(np.float32)
+    buf.cache.add_frame(f)
+
+    got = buf.get_frame(7)
+    assert got.ffc_affected
+    np.testing.assert_allclose(got.thermal, th, rtol=1e-6)
+    np.testing.assert_allclose(got.filtered, fl, rtol=1e-6)
+    np.testing.assert_array_equal(got.mask, mask)
+    assert got.flow_clipped
+    got.unclip_flow()
+    np.testing.assert_allclose(got.flow, f.flow, atol=1e-3)
+    assert buf.get_frame(99) is None
+    buf.remove_cache()
+
+
+def test_framebuffer_ring():
+    from classifier_pipeline_tpu.data.framecache import FrameBuffer
+    import numpy as np
+
+    buf = FrameBuffer("x.cptv", keep_frames=True, max_frames=3)
+    for i in range(5):
+        buf.add_frame(np.full((4, 4), i, np.float32), None, None, i)
+    assert [f.frame_number for f in buf.frames] == [2, 3, 4]
+    assert buf.get_frame(0) is None
+    assert buf.get_frame(4).thermal[0, 0] == 4

@@ -75,3 +75,50 @@ def test_merge_components():
     assert valid.sum() == 2
     w = np.asarray(merged.w)[valid]
     assert 25 in w  # merged box spans 30..55
+
+
+def test_irwriter_roundtrip_and_tf_oracle(tmp_path):
+    """IR TFRecord writing (reference irwriter.py) round-trips through our
+    reader and through tf.data byte-compatibly."""
+    import numpy as np
+
+    from classifier_pipeline_tpu.data import irwriter, tfrecords
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 255, (10, 120, 160), dtype=np.uint8)
+    frames[0] = 10  # background frame
+    samples = [
+        irwriter.IRSample(clip_id=1, track_id=2, label="cat",
+                          frame_number=3, region=(40, 30, 32, 24)),
+        irwriter.IRSample(clip_id=1, track_id=2, label="dog",
+                          frame_number=7, region=(10, 10, 20, 20)),
+    ]
+    path = tmp_path / "ir-0.tfrecord"
+    labels = ["cat", "dog"]
+    with tfrecords.RecordWriter(str(path)) as w:
+        n = irwriter.save_data(samples, w, labels,
+                               {"back_thresh": 15, "frames": frames})
+    assert n == 2
+
+    got = list(irwriter.read_ir_records(str(path), image_size=(32, 32)))
+    assert len(got) == 2
+    img, label = got[0]
+    assert img.shape == (32, 32, 2)
+    assert label == 0
+    # channel quirk: both channels are the thermal crop
+    np.testing.assert_array_equal(img[..., 0], img[..., 1])
+
+    # tf.data oracle: same bytes decodable by tensorflow
+    import pytest
+    tf = pytest.importorskip("tensorflow")
+    ds = tf.data.TFRecordDataset(str(path), compression_type="GZIP")
+    fmt = {
+        "image/thermalencoded": tf.io.FixedLenFeature((), tf.string),
+        "image/class/label": tf.io.FixedLenFeature((), tf.int64, -1),
+        "image/height": tf.io.FixedLenFeature((), tf.int64, -1),
+    }
+    rows = [tf.io.parse_single_example(r, fmt) for r in ds]
+    assert len(rows) == 2
+    assert int(rows[0]["image/class/label"]) == 0
+    dec = tf.image.decode_png(rows[0]["image/thermalencoded"], channels=1)
+    assert dec.shape[:2] == (24, 32)
