@@ -113,3 +113,47 @@ def test_postprocess_watcher(tmp_path):
     w.resume()
     w.scan_once()
     assert w.scan_once() == 1
+
+
+def test_dbtool_images_and_rebuild_date(tmp_path):
+    """dbtool images (reference generate_images.py) and rebuild-date
+    (reference rebuildDate.py)."""
+    import numpy as np
+
+    from classifier_pipeline_tpu.cli import dbtool
+    from classifier_pipeline_tpu.data.trackdb import TrackDatabase
+    from classifier_pipeline_tpu.track.postprocess import RegionRow
+
+    db_path = str(tmp_path / "db.h5")
+    db = TrackDatabase(db_path)
+    bg = np.full((120, 160), 3000, np.float32)
+    db.create_clip("11", metadata={"source": "x.cptv"}, background=bg)
+    frames = np.zeros((3, 2, 24, 24), np.float32)
+    regions = [
+        RegionRow(x=1, y=2, width=24, height=24, mass=10, frame_number=i,
+                  pixel_variance=0, blank=False, centroid=(0, 0),
+                  is_along_border=False)
+        for i in range(3)
+    ]
+    db.add_track("11", "22", frames, regions, tags=["possum"], start_frame=5)
+
+    out = tmp_path / "imgs"
+    rc = dbtool.main([db_path, "images", str(out)])
+    assert rc == 0
+    assert (out / "11" / "11-background.png").exists()
+    assert (out / "11" / "11-5.png").exists()
+    assert (out / "11" / "11-7.png").exists()
+    assert (out / "11" / "track-22.json").exists()
+
+    cdir = tmp_path / "cptv"
+    cdir.mkdir()
+    (cdir / "cam-20240601-120000.cptv").write_bytes(b"")
+    (cdir / "cam-20240901-130000.cptv").write_bytes(b"")
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = dbtool.main([db_path, "rebuild-date", str(cdir)])
+    assert rc == 0
+    assert buf.getvalue().strip() == "2024-03-05 00:00:00"
