@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import json
 import logging
+import os
 import time
 from pathlib import Path
 
@@ -146,47 +147,66 @@ class ClipClassifier:
         meta["models"] = [vars(m) for m in self.models]
         return meta
 
-    def process_batch(self, paths) -> list[dict]:
+    def process_batch(self, paths, chunks: int | None = None) -> list[dict]:
         """Batch path: track all clips concurrently, then classify every
-        track of every clip in one device call per model."""
+        track of every clip in one device call per model.
+
+        The batch is split into ``chunks`` software-pipeline stages: every
+        chunk's upload + scan is dispatched up front (JAX async dispatch), so
+        chunk k's host work — row fetch, track assembly, thumbnails,
+        metadata — overlaps chunk k+1's device compute, and all uploads ride
+        the tunnel while the first scan runs.
+        """
         from classifier_pipeline_tpu.classify.interpreter import (
             classify_clip_batch,
         )
 
+        if chunks is None:
+            chunks = int(os.environ.get("BATCH_PIPELINE_CHUNKS", "2"))
+        chunks = max(1, min(chunks, len(paths)))
         start = time.time()
         extractor = ClipTrackExtractor(
             config=self.config.raw, keep_rows=True, emit_filtered=True
         )
-        results = extractor.extract_batch(paths)
-        ctxs = []
-        for res in results:
-            thermal = res.clip.pixels[~res.clip.is_background]
-            ctx = ClipContext(thermal, res.rows.filtered, self._ffc_frames(res))
-            ctx.thermal_dev16 = res.thermal_dev16  # reuse the scan's upload
-            ctxs.append(ctx)
+        # split into near-equal chunks, preserving order
+        bounds = np.linspace(0, len(paths), chunks + 1).astype(int)
+        groups = [paths[a:b] for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+        # dispatch every chunk's upload + scan before any blocking fetch
+        handles = [extractor.scan_batch(g) for g in groups]
+
         metas = []
-        all_preds = {}
-        for model in self.models:
-            interpreter = self.get_classifier(model)
-            per_clip = classify_clip_batch(
-                interpreter, ctxs, [res.tracks for res in results],
-                min_segments=1,
-            )
-            all_preds[model.id] = (interpreter, per_clip)
-        for ci, res in enumerate(results):
-            meta = res.metadata
-            for i, track in enumerate(res.tracks):
-                pred_info = []
-                for model_id, (interpreter, per_clip) in all_preds.items():
-                    tp = per_clip[ci].get(track.track_id)
-                    if tp is None:
-                        continue
-                    pm = tp.get_metadata(interpreter.thresholds)
-                    pm["model_id"] = model_id
-                    pred_info.append(pm)
-                meta["tracks"][i]["predictions"] = pred_info
-            meta["models"] = [vars(m) for m in self.models]
-            metas.append(meta)
+        for handle in handles:
+            results = extractor.collect_batch(handle)
+            ctxs = []
+            for res in results:
+                thermal = res.clip.pixels[~res.clip.is_background]
+                ctx = ClipContext(
+                    thermal, res.rows.filtered, self._ffc_frames(res)
+                )
+                ctx.thermal_dev16 = res.thermal_dev16  # reuse the scan upload
+                ctxs.append(ctx)
+            all_preds = {}
+            for model in self.models:
+                interpreter = self.get_classifier(model)
+                per_clip = classify_clip_batch(
+                    interpreter, ctxs, [res.tracks for res in results],
+                    min_segments=1,
+                )
+                all_preds[model.id] = (interpreter, per_clip)
+            for ci, res in enumerate(results):
+                meta = res.metadata
+                for i, track in enumerate(res.tracks):
+                    pred_info = []
+                    for model_id, (interpreter, per_clip) in all_preds.items():
+                        tp = per_clip[ci].get(track.track_id)
+                        if tp is None:
+                            continue
+                        pm = tp.get_metadata(interpreter.thresholds)
+                        pm["model_id"] = model_id
+                        pred_info.append(pm)
+                    meta["tracks"][i]["predictions"] = pred_info
+                meta["models"] = [vars(m) for m in self.models]
+                metas.append(meta)
         logging.info(
             "Classified %d clips in %.1fs", len(paths), time.time() - start
         )

@@ -140,23 +140,38 @@ class ClipTrackExtractor:
         background = pixels[0]  # reference init uses the reader's first frame
         return clip, camera_model, params, thermal, ffc, background, self._clip_id
 
-    def extract_batch(self, paths, process_background=False) -> list:
-        """Track many clips concurrently (one chip, vmapped scan). Clips are
-        grouped by camera model (static tracking params must match)."""
+    def scan_batch(self, paths, process_background=False):
+        """Decode + upload + dispatch the vmapped scan for a clip batch
+        without blocking (JAX async dispatch). Pair with collect_batch.
+        Clips are grouped by camera model (static tracking params must
+        match)."""
         start = time.time()
         prepped = [self._prepare(p, process_background) for p in paths]
         by_params = {}
         for i, pre in enumerate(prepped):
             by_params.setdefault(pre[2], []).append(i)
-        results: list = [None] * len(paths)
+        handles = []
         for params, idxs in by_params.items():
             batch = [prepped[i] for i in idxs]
-            scans = tracker_jax.track_clips_batch(
-                [b[3] for b in batch],
-                [b[4] for b in batch],
-                params,
-                backgrounds=[b[5] for b in batch],
+            handles.append(
+                (
+                    idxs,
+                    tracker_jax.track_clips_batch_dispatch(
+                        [b[3] for b in batch],
+                        [b[4] for b in batch],
+                        params,
+                        backgrounds=[b[5] for b in batch],
+                    ),
+                )
             )
+        return (paths, prepped, handles, start)
+
+    def collect_batch(self, scan_handle) -> list:
+        """Block on a dispatched batch scan and assemble ExtractResults."""
+        paths, prepped, handles, start = scan_handle
+        results: list = [None] * len(paths)
+        for idxs, handle in handles:
+            scans = tracker_jax.track_clips_batch_collect(handle)
             for i, (rows, carry) in zip(idxs, scans):
                 clip, camera_model, params_i, thermal, ffc, _, clip_id = prepped[i]
                 results[i] = self._finalize(
@@ -166,6 +181,10 @@ class ClipTrackExtractor:
                 # device-resident thermal for downstream classification
                 results[i].thermal_dev16 = getattr(carry, "thermal_dev16", None)
         return results
+
+    def extract_batch(self, paths, process_background=False) -> list:
+        """Track many clips concurrently (one chip, vmapped scan)."""
+        return self.collect_batch(self.scan_batch(paths, process_background))
 
     def extract(self, path, process_background=False) -> ExtractResult:
         start = time.time()

@@ -927,6 +927,58 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
+def track_clips_batch_dispatch(
+    thermals: list,
+    ffcs: list,
+    params: TrackingParams,
+    backgrounds: list | None = None,
+    bucket: int = 32,
+):
+    """Upload a clip batch and dispatch its scan WITHOUT blocking.
+
+    JAX dispatch is asynchronous: the host returns as soon as the upload and
+    the scan are queued, so a caller can dispatch chunk k+1 while chunk k is
+    still computing and overlap tunnel transfers with device compute.
+    Returns an opaque handle for track_clips_batch_collect.
+    """
+    T = _round_up(max(t.shape[0] for t in thermals), bucket)
+    B = len(thermals)
+    H, W = params.res_y, params.res_x
+    th = np.zeros((B, T, H, W), np.uint16)
+    ffc_pad = np.ones((B, T), bool)  # padding = FFC (inert)
+    carries = []
+    for i, thermal in enumerate(thermals):
+        t = thermal.shape[0]
+        th[i, :t] = thermal.astype(np.uint16)
+        ffc_pad[i, :t] = ffcs[i]
+        bg = backgrounds[i] if backgrounds is not None else thermal[0]
+        carries.append(init_carry(params, bg))
+    carry0 = jax.tree.map(lambda *xs: np.stack(xs), *carries)
+    th_dev = jnp.asarray(th)  # keep: classification reuses it on device
+    carry, rows = _track_scan_batch(params, carry0, th_dev, ffc_pad)
+    # pack on device now (dispatch only); the blocking device_get happens in
+    # collect
+    packed = _pack_rows(rows)
+    return (thermals, th_dev, carry, rows, packed)
+
+
+def track_clips_batch_collect(handle):
+    """Fetch + split the results of a dispatched batch scan (blocks)."""
+    thermals, th_dev, carry, rows, packed = handle
+    rows = _unpack_rows(rows, packed)
+    # the carry stays on device except the background (its only host
+    # consumer); a full device_get costs one tunnel round trip per leaf
+    backgrounds_np = np.asarray(carry.background)
+    out = []
+    for i, thermal in enumerate(thermals):
+        t = thermal.shape[0]
+        clip_rows = jax.tree.map(lambda a: a[:t, i], rows)
+        host_carry = _HostCarry(backgrounds_np[i])
+        host_carry.thermal_dev16 = th_dev[i]  # (T, H, W) u16 device slice
+        out.append((clip_rows, host_carry))
+    return out
+
+
 def track_clips_batch(
     thermals: list,
     ffcs: list,
@@ -941,33 +993,9 @@ def track_clips_batch(
     create or extend tracks). Returns a list of per-clip (rows, carry) with
     rows truncated back to each clip's real length.
     """
-    B = len(thermals)
-    T = _round_up(max(t.shape[0] for t in thermals), bucket)
-    H, W = params.res_y, params.res_x
-    th = np.zeros((B, T, H, W), np.uint16)
-    ffc_pad = np.ones((B, T), bool)  # padding = FFC (inert)
-    carries = []
-    for i, thermal in enumerate(thermals):
-        t = thermal.shape[0]
-        th[i, :t] = thermal.astype(np.uint16)
-        ffc_pad[i, :t] = ffcs[i]
-        bg = backgrounds[i] if backgrounds is not None else thermal[0]
-        carries.append(init_carry(params, bg))
-    carry0 = jax.tree.map(lambda *xs: np.stack(xs), *carries)
-    th_dev = jnp.asarray(th)  # keep: classification reuses it on device
-    carry, rows = _track_scan_batch(params, carry0, th_dev, ffc_pad)
-    rows = fetch_rows(rows)
-    # the carry stays on device except the background (its only host
-    # consumer); a full device_get costs one tunnel round trip per leaf
-    backgrounds_np = np.asarray(carry.background)
-    out = []
-    for i, thermal in enumerate(thermals):
-        t = thermal.shape[0]
-        clip_rows = jax.tree.map(lambda a: a[:t, i], rows)
-        host_carry = _HostCarry(backgrounds_np[i])
-        host_carry.thermal_dev16 = th_dev[i]  # (T, H, W) u16 device slice
-        out.append((clip_rows, host_carry))
-    return out
+    return track_clips_batch_collect(
+        track_clips_batch_dispatch(thermals, ffcs, params, backgrounds, bucket)
+    )
 
 
 @jax.jit
@@ -1032,9 +1060,11 @@ def fetch_rows(rows: FrameRows) -> FrameRows:
     channel, which stays on device: its only consumer is the (device-side)
     classification preprocessing, and when the TPU sits behind a network
     tunnel a (T, H, W) float32 transfer dominates the whole pipeline."""
-    slot_u16, slot_f32, reg_u16, reg_f32, scalars = jax.device_get(
-        _pack_rows(rows)
-    )
+    return _unpack_rows(rows, _pack_rows(rows))
+
+
+def _unpack_rows(rows: FrameRows, packed) -> FrameRows:
+    slot_u16, slot_f32, reg_u16, reg_f32, scalars = jax.device_get(packed)
     mask = np.asarray(rows.mask)
     i32 = lambda a: a.astype(np.int32)
     flags = slot_u16[..., 0]
