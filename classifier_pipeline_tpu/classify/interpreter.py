@@ -552,6 +552,15 @@ def classify_clip_batch(interpreter, ctxs, track_lists, min_segments=1):
     track_lists: per-clip list of tracks. Returns list of
     {track_id: TrackPrediction} aligned with ctxs.
     """
+    return classify_clip_batch_collect(
+        classify_clip_batch_dispatch(interpreter, ctxs, track_lists, min_segments)
+    )
+
+
+def classify_clip_batch_dispatch(interpreter, ctxs, track_lists, min_segments=1):
+    """Dispatch the fused classify for a clip batch without blocking (JAX
+    async dispatch); pair with classify_clip_batch_collect. Lets callers
+    overlap the prediction compute/fetch with other host work."""
     jobs = []  # (clip_i, track, segments, tensors)
     for ci, (ctx, tracks) in enumerate(zip(ctxs, track_lists)):
         for track in tracks:
@@ -566,7 +575,7 @@ def classify_clip_batch(interpreter, ctxs, track_lists, min_segments=1):
             jobs.append((ci, track, segments, tensors))
     results = [dict() for _ in ctxs]
     if not jobs:
-        return results
+        return (interpreter, jobs, None, results, 0.0)
     N = len(jobs)
     Fb = max(j[3][0].shape[0] for j in jobs)
     Tb = max(j[3][2].shape[0] for j in jobs)
@@ -632,8 +641,18 @@ def classify_clip_batch(interpreter, ctxs, track_lists, min_segments=1):
         jnp.asarray(caz),
         diff_norm=bool(interpreter.params.diff_norm),
     )
+    return (interpreter, jobs, out, results, start)
+
+
+def classify_clip_batch_collect(handle):
+    """Fetch predictions of a dispatched classify batch and assemble
+    TrackPredictions (blocks on the device result)."""
+    interpreter, jobs, out, results, start = handle
+    if out is None:
+        return results
     out = np.asarray(out)
     elapsed = time.time() - start
+    N = len(jobs)
     for i, (ci, track, segments, tensors) in enumerate(jobs):
         S = tensors[6]
         output = out[i, :S]

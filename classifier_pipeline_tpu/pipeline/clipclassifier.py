@@ -174,6 +174,11 @@ class ClipClassifier:
         # dispatch every chunk's upload + scan before any blocking fetch
         handles = [extractor.scan_batch(g) for g in groups]
 
+        # per chunk: block on its scan, assemble tracks on host (overlapping
+        # the next chunk's device compute), classify, merge metadata. Note:
+        # deferring the prediction fetches to a second phase was measured
+        # SLOWER (380 vs 467 fps) — fetching chunk k's predictions here
+        # already overlaps chunk k+1's scan on the device.
         metas = []
         for handle in handles:
             results = extractor.collect_batch(handle)
