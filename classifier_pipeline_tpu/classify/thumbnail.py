@@ -48,14 +48,23 @@ def largest_boundary_length(mask: np.ndarray) -> int:
     return best
 
 
-def get_track_thumb_stats(thermal, masks, track, background_thresh=20):
+def frame_medians(thermal):
+    """Per-frame medians of the whole clip; compute ONCE per clip and pass to
+    the per-track calls below (identical across tracks, and the (T, H*W)
+    partition is the dominant cost)."""
+    return np.median(thermal, axis=(1, 2))
+
+
+def get_track_thumb_stats(thermal, masks, track, background_thresh=20,
+                          medians=None):
     """thermal: (T,H,W) uint16; masks: (T,H,W) uint8 detection masks."""
     max_mass = 0
     max_median_diff = 0.0
     min_median_diff = 0.0
     max_contour = 0
     stats = []
-    medians = np.median(thermal, axis=(1, 2))
+    if medians is None:
+        medians = frame_medians(thermal)
     for region in track.bounds:
         if region.blank or region.mass == 0:
             continue
@@ -101,9 +110,10 @@ def score(stat, max_mass, max_median_diff, min_median_diff, max_contour):
     return s
 
 
-def get_thumbnail_info(thermal, masks, track, background_thresh=20):
+def get_thumbnail_info(thermal, masks, track, background_thresh=20,
+                       medians=None):
     stats, max_mass, max_md, min_md, max_c = get_track_thumb_stats(
-        thermal, masks, track, background_thresh
+        thermal, masks, track, background_thresh, medians=medians
     )
     if len(stats) == 0:
         if len(track.bounds) == 0:
@@ -115,8 +125,11 @@ def get_thumbnail_info(thermal, masks, track, background_thresh=20):
     return ranked[0], score(ranked[0], max_mass, max_md, min_md, max_c)
 
 
-def thumbnail_metadata(thermal, masks, track, background_thresh=20):
-    best, best_score = get_thumbnail_info(thermal, masks, track, background_thresh)
+def thumbnail_metadata(thermal, masks, track, background_thresh=20,
+                       medians=None):
+    best, best_score = get_thumbnail_info(
+        thermal, masks, track, background_thresh, medians=medians
+    )
     if best is None:
         return None
     return {

@@ -118,10 +118,12 @@ class ClipTrackExtractor:
             emit_mask=self.calculate_thumbnails,
         )
 
-    def _prepare(self, path, process_background=False):
+    def _prepare(self, path, process_background=False, clip_id=None):
         path = Path(path)
         clip = load_cptv(path)
-        self._clip_id += 1
+        if clip_id is None:
+            self._clip_id += 1
+            clip_id = self._clip_id
         header = clip.header
         camera_model = header.model or None
         params = self.params_for(camera_model)
@@ -138,7 +140,7 @@ class ClipTrackExtractor:
         last_ffc = clip.last_ffc_ms[proc_mask].astype(np.int64)
         ffc = (time_on - last_ffc) < FFC_PERIOD_MS_QUIRK
         background = pixels[0]  # reference init uses the reader's first frame
-        return clip, camera_model, params, thermal, ffc, background, self._clip_id
+        return clip, camera_model, params, thermal, ffc, background, clip_id
 
     def scan_batch(self, paths, process_background=False):
         """Decode + upload + dispatch the vmapped scan for a clip batch
@@ -146,7 +148,23 @@ class ClipTrackExtractor:
         Clips are grouped by camera model (static tracking params must
         match)."""
         start = time.time()
-        prepped = [self._prepare(p, process_background) for p in paths]
+        # decode clips in parallel: the native CPTV decoder runs under ctypes,
+        # which drops the GIL for the duration of the C call. Clip ids are
+        # assigned up front so threading can't reorder them.
+        from concurrent.futures import ThreadPoolExecutor
+
+        clip_ids = []
+        for _ in paths:
+            self._clip_id += 1
+            clip_ids.append(self._clip_id)
+        with ThreadPoolExecutor(max_workers=min(8, len(paths))) as pool:
+            prepped = list(
+                pool.map(
+                    lambda pc: self._prepare(pc[0], process_background,
+                                             clip_id=pc[1]),
+                    zip(paths, clip_ids),
+                )
+            )
         by_params = {}
         for i, pre in enumerate(prepped):
             by_params.setdefault(pre[2], []).append(i)
@@ -240,9 +258,10 @@ class ClipTrackExtractor:
         from classifier_pipeline_tpu.classify import thumbnail
 
         masks = tracker_jax.unpack_mask(rows.mask)
+        medians = thumbnail.frame_medians(thermal) if tracks else None
         for i, track in enumerate(tracks):
             meta["tracks"][i]["thumbnail"] = thumbnail.thumbnail_metadata(
-                thermal, masks, track, th["background_thresh"]
+                thermal, masks, track, th["background_thresh"], medians=medians
             )
         if not tracks:
             region_history = []
