@@ -43,9 +43,17 @@ def bce_loss(logits, labels, label_smoothing=0.0):
     return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
 
 
-def make_train_step(model, tx, multi_label=True, label_smoothing=0.0):
+def make_train_step(model, tx, multi_label=True, label_smoothing=0.0,
+                    class_weights=None):
     """Returns step(state, batch, rng) -> (state, metrics). The model must be
-    built with logits_only=True for a numerically stable loss."""
+    built with logits_only=True for a numerically stable loss.
+
+    class_weights: optional (num_labels,) array (reference tfdataset.
+    get_weighting via model.fit(class_weight=...)); each sample's loss is
+    scaled by the weight of its primary (argmax) label, keras's class_weight
+    semantics for one-hot targets."""
+    if class_weights is not None:
+        class_weights = jnp.asarray(class_weights, jnp.float32)
 
     def loss_fn(params, batch_stats, images, labels, rng):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -57,9 +65,16 @@ def make_train_step(model, tx, multi_label=True, label_smoothing=0.0):
             mutable=["batch_stats"],
         )
         if multi_label:
-            loss = bce_loss(logits, labels, label_smoothing)
+            per = optax.sigmoid_binary_cross_entropy(
+                logits,
+                labels * (1 - label_smoothing) + 0.5 * label_smoothing
+                if label_smoothing else labels,
+            ).mean(axis=-1)
         else:
-            loss = optax.softmax_cross_entropy(logits, labels).mean()
+            per = optax.softmax_cross_entropy(logits, labels)
+        if class_weights is not None:
+            per = per * class_weights[jnp.argmax(labels, axis=-1)]
+        loss = per.mean()
         return loss, (mutated["batch_stats"], logits)
 
     def step(state: TrainState, images, labels, rng):

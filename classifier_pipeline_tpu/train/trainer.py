@@ -105,7 +105,26 @@ class Trainer:
                 step=state.step,
             )
             logging.info("loaded weights from %s", self.weights)
-        train_step = jax.jit(steps.make_train_step(model, tx, self.multi_label))
+        class_weights = None
+        if self.hp.get("rebalance"):
+            # reference tfdataset.get_weighting (:11-32): inverse-frequency
+            # weights over the train distribution, capped to [0.25, 4]
+            dist = train_onehots.sum(axis=0).astype(np.float64)
+            non_zero = max(int((dist > 0).sum()), 1)
+            total = dist.sum()
+            class_weights = np.where(
+                dist > 0,
+                np.clip((1.0 / np.maximum(dist, 1e-9)) * (total / non_zero),
+                        0.25, 4.0),
+                0.0,
+            ).astype(np.float32)
+            logging.info("class weights: %s",
+                         dict(zip(self.labels, class_weights.round(3))))
+        train_step = jax.jit(
+            steps.make_train_step(
+                model, tx, self.multi_label, class_weights=class_weights
+            )
+        )
         eval_step = jax.jit(steps.make_eval_step(model, self.multi_label))
 
         loader = TrainLoader(

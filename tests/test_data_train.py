@@ -163,3 +163,32 @@ def test_framebuffer_ring():
     assert [f.frame_number for f in buf.frames] == [2, 3, 4]
     assert buf.get_frame(0) is None
     assert buf.get_frame(4).thermal[0, 0] == 4
+
+
+def test_class_weighted_train_step():
+    """reference tfdataset.get_weighting + model.fit(class_weight=...):
+    inverse-frequency weights scale per-sample loss by primary label."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from classifier_pipeline_tpu.models.registry import build_classifier
+    from classifier_pipeline_tpu.train import steps
+
+    model = build_classifier("simple-cnn", 3, logits_only=True)
+    tx = optax.adam(1e-3)
+    state = steps.create_train_state(model, jax.random.PRNGKey(0), (1, 16, 16, 2), tx)
+    images = jnp.zeros((4, 16, 16, 2))
+    labels = jnp.asarray(
+        [[1, 0, 0], [1, 0, 0], [0, 1, 0], [0, 0, 1]], jnp.float32
+    )
+    rng = jax.random.PRNGKey(1)
+    plain = steps.make_train_step(model, tx)
+    weighted = steps.make_train_step(
+        model, tx, class_weights=np.array([2.0, 1.0, 1.0], np.float32)
+    )
+    _, m0 = plain(state, images, labels, rng)
+    _, m1 = weighted(state, images, labels, rng)
+    # half the batch has label 0 with weight 2 -> loss scaled by 1.5
+    assert float(m1["loss"]) == pytest.approx(1.5 * float(m0["loss"]), rel=1e-4)
