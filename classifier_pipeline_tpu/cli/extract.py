@@ -23,7 +23,12 @@ from classifier_pipeline_tpu.utils.logs import init_logging
 
 def process_one(args):
     path, config_raw, out_dir, to_stdout, preview = args
-    ex = ClipTrackExtractor(config=config_raw, keep_rows=False)
+    # the 4-up tracking debug view needs the filtered channel + masks
+    debug_preview = preview == "tracking"
+    ex = ClipTrackExtractor(
+        config=config_raw, keep_rows=debug_preview,
+        emit_filtered=debug_preview,
+    )
     res = ex.extract(path)
     if to_stdout:
         print(json.dumps(res.metadata, default=str))
@@ -38,8 +43,17 @@ def process_one(args):
 
         mp4 = (out or Path(path)).with_suffix("")
         mp4 = mp4.parent / f"{mp4.name}-tracking.mp4"
+        thermal = res.clip.pixels[~res.clip.is_background]
+        extra = {}
+        if debug_preview and res.rows is not None:
+            import numpy as _np
+
+            from classifier_pipeline_tpu.track import tracker_jax
+
+            extra["filtered"] = _np.asarray(res.rows.filtered)
+            extra["masks"] = tracker_jax.unpack_mask(res.rows.mask)
         Previewer(preview_type=preview).export_clip_preview(
-            mp4, res.clip.pixels[~res.clip.is_background], res.tracks
+            mp4, thermal, res.tracks, **extra
         )
     return (
         str(path),

@@ -55,14 +55,50 @@ class Previewer:
         self.scale = scale
 
     def export_clip_preview(self, filename, thermal, tracks=None,
-                            predictions=None, fps=9):
+                            predictions=None, fps=9, filtered=None,
+                            masks=None, flows=None):
         """thermal: (T, H, W) uint16; tracks: AssembledTracks; predictions:
-        {model_id: Predictions} for footer labels."""
+        {model_id: Predictions} for footer labels. For the "tracking" debug
+        view pass filtered (T, H, W) f32, masks (T, H, W) u8 and optionally
+        flows (T, H, W, 2)."""
         from PIL import Image, ImageDraw
 
         mpeg = MPEGCreator(filename, fps=fps)
         t_min = float(thermal.min())
         t_max = float(thermal.max())
+        if self.preview_type == PREVIEW_TRACKING:
+            # 4-up debug view (reference previewer.create_four_tracking_image
+            # :321-380): thermal | filtered over mask | flow magnitude
+            for t in range(thermal.shape[0]):
+                th_rgb = render_thermal(thermal[t], t_min, t_max, 1)
+                f = filtered[t] if filtered is not None else np.zeros_like(
+                    thermal[t], np.float32
+                )
+                fmin, fmax = float(f.min()), float(f.max())
+                fn = (f - fmin) / (fmax - fmin) * 255 if fmax > fmin else f * 0
+                f_rgb = np.repeat(np.uint8(fn)[..., None], 3, axis=2)
+                m = masks[t] if masks is not None else np.zeros_like(
+                    thermal[t], np.uint8
+                )
+                m_rgb = np.repeat(np.uint8(m > 0)[..., None] * 255, 3, axis=2)
+                if flows is not None:
+                    mag = np.linalg.norm(
+                        flows[t].astype(np.float32), axis=-1
+                    ) / 4.0 + t_min
+                    fl_rgb = render_thermal(mag, t_min, t_max, 1)
+                else:
+                    fl_rgb = np.zeros_like(th_rgb)
+                quad = np.hstack(
+                    (np.vstack((th_rgb, m_rgb)), np.vstack((f_rgb, fl_rgb)))
+                )
+                img = Image.fromarray(quad).resize(
+                    (quad.shape[1] * self.scale, quad.shape[0] * self.scale),
+                    Image.BILINEAR,
+                )
+                mpeg.next_frame(np.ascontiguousarray(np.asarray(img)))
+            mpeg.close()
+            logging.info("Exported tracking preview %s", filename)
+            return filename
         bounds_by_frame = {}
         for ti, track in enumerate(tracks or []):
             label = None
