@@ -29,11 +29,15 @@
 // frame and the previous frame.  Decoding = cumulative sum along the snake,
 // un-snake, add previous frame.  The background frame (if present) is frame 0
 // and is chained into the per-frame deltas like any other frame.
+#include <atomic>
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <thread>
+#include <utility>
 #include <vector>
 #include <zlib.h>
 
@@ -476,6 +480,64 @@ int cptv_writer_close(void* h) {
   if (w->gz) rc = gzclose(w->gz);
   delete w;
   return rc;
+}
+
+// ------------------------------------------------- delta upload encoder ----
+// Delta-encode a (B, T, HW) uint16 batch for the compressed host->TPU
+// upload (track/tracker_jax._encode_delta_u16): per frame-pair, a global
+// int32 shift = round(mean(delta)) plus int8 residuals; residuals outside
+// [-127, 127] go to a flat-index exception list applied on device before
+// the cumulative sum. Single streaming pass; threaded over clips.
+// Returns the total exception count (caller falls back to raw upload when
+// it exceeds `cap`; entries past cap are dropped but counted).
+long long delta_encode_u16(const uint16_t* th, long long B, long long T,
+                           long long HW, int8_t* resid, int32_t* shift,
+                           int32_t* exc_idx, int32_t* exc_val,
+                           long long cap) {
+  std::atomic<long long> total_exc(0);
+  long long n_threads = std::min<long long>(B, 8);
+  std::vector<std::thread> threads;
+  // each clip writes exceptions into its own slice bound later; collect
+  // per-clip exception vectors and merge afterwards to keep writes race-free
+  std::vector<std::vector<std::pair<long long, int32_t>>> exc_per(B);
+  for (long long w = 0; w < n_threads; w++) {
+    threads.emplace_back([&, w]() {
+      for (long long b = w; b < B; b += n_threads) {
+        const uint16_t* clip = th + b * T * HW;
+        int8_t* rclip = resid + b * (T - 1) * HW;
+        auto& exc = exc_per[b];
+        for (long long t = 0; t + 1 < T; t++) {
+          const uint16_t* prev = clip + t * HW;
+          const uint16_t* cur = prev + HW;
+          long long sum = 0;
+          for (long long i = 0; i < HW; i++)
+            sum += (long long)cur[i] - (long long)prev[i];
+          double mean = (double)sum / (double)HW;
+          int32_t s = (int32_t)llround(mean);
+          shift[b * (T - 1) + t] = s;
+          int8_t* r = rclip + t * HW;
+          for (long long i = 0; i < HW; i++) {
+            int32_t d = (int32_t)cur[i] - (int32_t)prev[i] - s;
+            int32_t c = d < -127 ? -127 : (d > 127 ? 127 : d);
+            r[i] = (int8_t)c;
+            if (d != c)
+              exc.emplace_back((b * (T - 1) + t) * HW + i, d - c);
+          }
+        }
+        total_exc += (long long)exc.size();
+      }
+    });
+  }
+  for (auto& t : threads) t.join();
+  long long n = 0;
+  for (long long b = 0; b < B && n < cap; b++)
+    for (auto& e : exc_per[b]) {
+      if (n >= cap) break;
+      exc_idx[n] = (int32_t)e.first;
+      exc_val[n] = e.second;
+      n++;
+    }
+  return total_exc.load();
 }
 
 }  // extern "C"

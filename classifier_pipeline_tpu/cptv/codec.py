@@ -106,8 +106,50 @@ def _load_native():
     ]
     lib.cptv_writer_close.restype = ctypes.c_int
     lib.cptv_writer_close.argtypes = [ctypes.c_void_p]
+    lib.delta_encode_u16.restype = ctypes.c_longlong
+    lib.delta_encode_u16.argtypes = [
+        ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_longlong, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.c_void_p, ctypes.c_longlong,
+    ]
     _lib = lib
     return _lib
+
+
+def delta_encode_u16(th, cap: int = 1 << 20):
+    """Native delta encoder for the compressed device upload (see
+    track/tracker_jax._encode_delta_u16). th: C-contiguous (B, T, H, W)
+    uint16. Returns (first_i32, resid_i8, shift_i32, exc_idx, exc_val) or
+    None when unavailable / too many exceptions (caller uploads raw)."""
+    import numpy as np
+
+    lib = _load_native()
+    if lib is None:
+        return None
+    assert th.dtype == np.uint16 and th.flags.c_contiguous
+    B, T, H, W = th.shape
+    if T < 2:
+        return None
+    resid = np.empty((B, T - 1, H, W), np.int8)
+    shift = np.empty((B, T - 1), np.int32)
+    exc_idx = np.zeros(cap, np.int32)
+    exc_val = np.zeros(cap, np.int32)
+    n = lib.delta_encode_u16(
+        th.ctypes.data, B, T, H * W,
+        resid.ctypes.data, shift.ctypes.data,
+        exc_idx.ctypes.data, exc_val.ctypes.data, cap,
+    )
+    if n > cap:
+        return None
+    k = max(int(n), 1)
+    k_pad = ((k + 4095) // 4096) * 4096
+    return (
+        th[:, 0].astype(np.int32),
+        resid,
+        shift,
+        exc_idx[:k_pad],
+        exc_val[:k_pad],
+    )
 
 
 @dataclasses.dataclass

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import NamedTuple
 
 import jax
@@ -927,6 +928,52 @@ def _round_up(n, m):
     return ((n + m - 1) // m) * m
 
 
+def _encode_delta_u16(th: np.ndarray):
+    """Host-side delta compression of the thermal upload.
+
+    The TPU sits behind a low-bandwidth tunnel and the raw (B, T, H, W)
+    uint16 upload dominates end-to-end wall time. Thermal video is tiny in
+    delta space (CPTV itself is delta-coded): frame deltas minus a per-frame
+    global shift fit int8 for ~99.97% of pixels. We upload first frame (i32)
+    + per-frame shifts (i32) + int8 residuals + a short exception list, and
+    reconstruct bit-exactly on device — ~half the bytes of the raw upload.
+    """
+    px = th.astype(np.int32)
+    d = np.diff(px, axis=1)
+    shift = np.round(d.mean(axis=(2, 3))).astype(np.int32)
+    resid = d - shift[:, :, None, None]
+    clipped = np.clip(resid, -127, 127)
+    err = resid - clipped
+    idx = np.flatnonzero(err)
+    vals = err.reshape(-1)[idx]
+    K = _round_up(max(len(idx), 1), 4096)
+    # flat indices stay < 2^31 for any realistic batch (B*T*H*W < 2e9)
+    idx_p = np.zeros(K, np.int32)
+    val_p = np.zeros(K, np.int32)
+    idx_p[: len(idx)] = idx
+    val_p[: len(vals)] = vals
+    return (
+        px[:, 0],
+        clipped.astype(np.int8),
+        shift,
+        idx_p,
+        val_p,
+    )
+
+
+@jax.jit
+def _decode_delta_u16(first_i32, resid_i8, shift_i32, exc_idx, exc_val):
+    """Bit-exact device-side inverse of _encode_delta_u16 -> (B,T,H,W) u16."""
+    d = resid_i8.astype(jnp.int32) + shift_i32[:, :, None, None]
+    flat = d.reshape(-1).at[exc_idx].add(exc_val)  # padding adds 0 at index 0
+    d = flat.reshape(resid_i8.shape)
+    th = jnp.concatenate(
+        [first_i32[:, None], first_i32[:, None] + jnp.cumsum(d, axis=1)],
+        axis=1,
+    )
+    return th.astype(jnp.uint16)
+
+
 def track_clips_batch_dispatch(
     thermals: list,
     ffcs: list,
@@ -950,11 +997,27 @@ def track_clips_batch_dispatch(
     for i, thermal in enumerate(thermals):
         t = thermal.shape[0]
         th[i, :t] = thermal.astype(np.uint16)
+        # pad with the last real frame: padded steps are FFC-inert for
+        # tracking, this keeps the background model at the clip's final
+        # state (zero padding would drag it to 0) and keeps upload deltas
+        # tiny for the compressed transfer
+        th[i, t:] = thermal[-1].astype(np.uint16)
         ffc_pad[i, :t] = ffcs[i]
         bg = backgrounds[i] if backgrounds is not None else thermal[0]
         carries.append(init_carry(params, bg))
     carry0 = jax.tree.map(lambda *xs: np.stack(xs), *carries)
-    th_dev = jnp.asarray(th)  # keep: classification reuses it on device
+    enc = None
+    if T >= 2 and os.environ.get("CPTPU_DELTA_UPLOAD", "1") != "0":
+        # halve the host->device bytes: int8 delta stream + exceptions,
+        # encoded by the native codec (a pure-numpy pass over ~100MB costs
+        # tens of seconds on weak hosts; the C encoder streams it)
+        from classifier_pipeline_tpu.cptv.codec import delta_encode_u16
+
+        enc = delta_encode_u16(th)
+    if enc is not None:
+        th_dev = _decode_delta_u16(*(jnp.asarray(a) for a in enc))
+    else:
+        th_dev = jnp.asarray(th)  # keep: classification reuses it on device
     carry, rows = _track_scan_batch(params, carry0, th_dev, ffc_pad)
     # pack on device now (dispatch only); the blocking device_get happens in
     # collect

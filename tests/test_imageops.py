@@ -136,3 +136,32 @@ def test_detect_objects_pipeline(possum_cptv):
         nv = int(np.sum(np.asarray(stats.valid)))
         assert nv == n_ref - 1
         np.testing.assert_array_equal(np.asarray(stats.area)[:nv], stats_ref[1:, 4])
+
+
+def test_delta_upload_codec_bit_exact():
+    """Compressed thermal upload (native delta_encode_u16 + device decode)
+    reconstructs the uint16 batch bit-exactly, including global jumps and
+    isolated outliers."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from classifier_pipeline_tpu.cptv.codec import delta_encode_u16
+    from classifier_pipeline_tpu.track import tracker_jax
+
+    rng = np.random.default_rng(0)
+    th = (3000 + rng.normal(0, 5, (3, 40, 24, 32)).cumsum(axis=1))
+    th = np.clip(th, 0, 65535).astype(np.uint16)
+    th[1, 20:] += 800   # FFC-style global shift
+    th[2, 10, 5, 5] += 5000  # isolated outlier
+    enc = delta_encode_u16(th)
+    assert enc is not None
+    dec = np.asarray(
+        tracker_jax._decode_delta_u16(*(jnp.asarray(a) for a in enc))
+    )
+    np.testing.assert_array_equal(dec, th)
+    # numpy reference encoder agrees
+    enc2 = tracker_jax._encode_delta_u16(th)
+    dec2 = np.asarray(
+        tracker_jax._decode_delta_u16(*(jnp.asarray(a) for a in enc2))
+    )
+    np.testing.assert_array_equal(dec2, th)
