@@ -22,7 +22,7 @@ import numpy as np
 
 BASELINE_FPS = 450.0  # 50x real-time at 9 fps
 CLIPS_DIR = Path("/root/reference/tests/clips")
-BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+BATCH = int(os.environ.get("BENCH_BATCH", "64"))
 
 
 def log(msg):
