@@ -22,7 +22,7 @@ from classifier_pipeline_tpu.utils.logs import init_logging
 
 
 def process_one(args):
-    path, config_raw, out_dir, to_stdout, preview = args
+    path, config_raw, out_dir, to_stdout, preview, retrack = args
     # the 4-up tracking debug view needs the filtered channel + masks
     debug_preview = preview == "tracking"
     ex = ClipTrackExtractor(
@@ -30,6 +30,22 @@ def process_one(args):
         emit_filtered=debug_preview,
     )
     res = ex.extract(path)
+    if retrack:
+        # reference --retrack (trackextractor.py:168-181, get_metadata
+        # :237-246): re-run tracking and merge the new tracks into the
+        # existing sidecar metadata (everything but the old tracks survives)
+        sidecar = Path(path).with_suffix(".txt")
+        if sidecar.exists():
+            existing = json.loads(sidecar.read_text())
+            existing.pop("tracks", None)
+            existing.pop("Tracks", None)
+            new_meta = dict(res.metadata)
+            if "id" in existing:
+                # reference clip.load_metadata seeds the clip id from the
+                # sidecar, so the merged output keeps the existing id
+                new_meta.pop("id", None)
+            existing.update(new_meta)
+            res.metadata = existing
     if to_stdout:
         print(json.dumps(res.metadata, default=str))
     else:
@@ -75,6 +91,10 @@ def main(argv=None):
     )
     parser.add_argument("-v", "--verbose", action="store_true")
     parser.add_argument(
+        "--retrack", action="store_true",
+        help="re-run tracking and merge into existing .txt metadata",
+    )
+    parser.add_argument(
         "-w", "--workers", type=int, default=0,
         help="worker processes for directory extraction (0 = in-process)",
     )
@@ -101,7 +121,8 @@ def main(argv=None):
 
     start = time.time()
     jobs = [
-        (str(f), config.raw, args.out_dir, args.to_stdout, args.preview)
+        (str(f), config.raw, args.out_dir, args.to_stdout, args.preview,
+         args.retrack)
         for f in files
     ]
     if args.workers and len(files) > 1:
