@@ -66,11 +66,10 @@ def cmd_images(db, args):
     import numpy as np
     from PIL import Image
 
+    from classifier_pipeline_tpu.utils.tools import normalize_host
+
     def _norm(a):
-        mx, mn = float(a.max()), float(a.min())
-        if mx == mn:
-            return np.zeros_like(a, dtype=np.float32)
-        return 255.0 * (a.astype(np.float32) - mn) / (mx - mn)
+        return normalize_host(a)[0]
 
     os.makedirs(args.out, exist_ok=True)
     for cid in db.get_clip_ids():

@@ -30,19 +30,22 @@ def process_one(args):
         emit_filtered=debug_preview,
     )
     res = ex.extract(path)
-    if retrack:
-        # reference --retrack (trackextractor.py:168-181, get_metadata
-        # :237-246): re-run tracking and merge the new tracks into the
-        # existing sidecar metadata (everything but the old tracks survives)
-        sidecar = Path(path).with_suffix(".txt")
-        if sidecar.exists():
+    # reference behavior (trackextractor.py:164-166, get_metadata:237-246):
+    # whenever a .txt sidecar exists its metadata is merged into the output
+    # (old tracks dropped, new metadata wins key conflicts). --retrack
+    # additionally seeds the clip id from the sidecar (clip.load_metadata,
+    # trackextractor.py:168-171).
+    sidecar = Path(path).with_suffix(".txt")
+    if sidecar.exists():
+        try:
             existing = json.loads(sidecar.read_text())
+        except (json.JSONDecodeError, OSError):
+            existing = None
+        if isinstance(existing, dict):
             existing.pop("tracks", None)
             existing.pop("Tracks", None)
             new_meta = dict(res.metadata)
-            if "id" in existing:
-                # reference clip.load_metadata seeds the clip id from the
-                # sidecar, so the merged output keeps the existing id
+            if retrack and "id" in existing:
                 new_meta.pop("id", None)
             existing.update(new_meta)
             res.metadata = existing

@@ -130,6 +130,10 @@ def delta_encode_u16(th, cap: int = 1 << 20):
     B, T, H, W = th.shape
     if T < 2:
         return None
+    if B * (T - 1) * H * W >= 2**31:
+        # exception indices are flat int32; past this the encoder would
+        # silently wrap and corrupt the decode — fall back to raw upload
+        return None
     resid = np.empty((B, T - 1, H, W), np.int8)
     shift = np.empty((B, T - 1), np.int32)
     exc_idx = np.zeros(cap, np.int32)

@@ -124,7 +124,11 @@ class FrameCache:
         frames = self.db["frames"]
         g = frames.create_group(str(frame.frame_number))
         g.attrs["ffc_affected"] = frame.ffc_affected
-        height, width = frame.thermal.shape
+        shaped = next(
+            a for a in (frame.thermal, frame.filtered, frame.mask)
+            if a is not None
+        )
+        height, width = shaped.shape
         channels, data = [], []
         if frame.thermal is not None:
             channels.append(TrackChannels.thermal.value)

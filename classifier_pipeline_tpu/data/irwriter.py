@@ -52,12 +52,9 @@ def _png_encode(img_u8: np.ndarray) -> bytes:
 
 def _normalize(data):
     """reference imageprocessing.normalize semantics; returns (img, ok)."""
-    mx, mn = float(data.max()), float(data.min())
-    if mx == mn:
-        if mx == 0:
-            return np.zeros(data.shape, np.float32), False
-        return data.astype(np.float32) / mx, False
-    return 255.0 * (data.astype(np.float32) - mn) / (mx - mn), True
+    from classifier_pipeline_tpu.utils.tools import normalize_host
+
+    return normalize_host(data)
 
 
 def get_diff_back_filtered(background, frame, back_thresh):

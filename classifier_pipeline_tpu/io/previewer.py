@@ -12,6 +12,8 @@ from pathlib import Path
 
 import numpy as np
 
+from classifier_pipeline_tpu.utils.tools import normalize_host
+
 from .mpeg_creator import MPEGCreator
 
 PREVIEW_RAW = "raw"
@@ -66,16 +68,37 @@ class Previewer:
         mpeg = MPEGCreator(filename, fps=fps)
         t_min = float(thermal.min())
         t_max = float(thermal.max())
+        bounds_by_frame = {}
+        for ti, track in enumerate(tracks or []):
+            label = None
+            if predictions:
+                for reg in predictions.values():
+                    tp = reg.prediction_for(track.track_id)
+                    if tp is not None and tp.max_score is not None:
+                        label = f"{tp.predicted_tag()} {tp.max_score * 10:.1f}"
+            for b in track.bounds:
+                bounds_by_frame.setdefault(b.frame_number, []).append(
+                    (ti, b, label)
+                )
         if self.preview_type == PREVIEW_TRACKING:
             # 4-up debug view (reference previewer.create_four_tracking_image
-            # :321-380): thermal | filtered over mask | flow magnitude
+            # :321-380): thermal+boxes | filtered over mask | flow magnitude
             for t in range(thermal.shape[0]):
                 th_rgb = render_thermal(thermal[t], t_min, t_max, 1)
+                if t in bounds_by_frame:
+                    img = Image.fromarray(th_rgb)
+                    draw = ImageDraw.Draw(img)
+                    for ti, b, _label in bounds_by_frame[t]:
+                        draw.rectangle(
+                            [b.x, b.y, b.right, b.bottom],
+                            outline=TRACK_COLOURS[ti % len(TRACK_COLOURS)],
+                            width=1,
+                        )
+                    th_rgb = np.asarray(img)
                 f = filtered[t] if filtered is not None else np.zeros_like(
                     thermal[t], np.float32
                 )
-                fmin, fmax = float(f.min()), float(f.max())
-                fn = (f - fmin) / (fmax - fmin) * 255 if fmax > fmin else f * 0
+                fn, _ = normalize_host(f)
                 f_rgb = np.repeat(np.uint8(fn)[..., None], 3, axis=2)
                 m = masks[t] if masks is not None else np.zeros_like(
                     thermal[t], np.uint8
@@ -99,18 +122,6 @@ class Previewer:
             mpeg.close()
             logging.info("Exported tracking preview %s", filename)
             return filename
-        bounds_by_frame = {}
-        for ti, track in enumerate(tracks or []):
-            label = None
-            if predictions:
-                for reg in predictions.values():
-                    tp = reg.prediction_for(track.track_id)
-                    if tp is not None and tp.max_score is not None:
-                        label = f"{tp.predicted_tag()} {tp.max_score * 10:.1f}"
-            for b in track.bounds:
-                bounds_by_frame.setdefault(b.frame_number, []).append(
-                    (ti, b, label)
-                )
         for t in range(thermal.shape[0]):
             rgb = render_thermal(thermal[t], t_min, t_max, self.scale)
             if self.preview_type != PREVIEW_RAW and t in bounds_by_frame:

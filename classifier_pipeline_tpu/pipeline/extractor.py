@@ -148,6 +148,8 @@ class ClipTrackExtractor:
         Clips are grouped by camera model (static tracking params must
         match)."""
         start = time.time()
+        if not paths:
+            return ([], [], [], start)
         # decode clips in parallel: the native CPTV decoder runs under ctypes,
         # which drops the GIL for the duration of the C call. Clip ids are
         # assigned up front so threading can't reorder them.

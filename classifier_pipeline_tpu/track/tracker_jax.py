@@ -938,6 +938,9 @@ def _encode_delta_u16(th: np.ndarray):
     + per-frame shifts (i32) + int8 residuals + a short exception list, and
     reconstruct bit-exactly on device — ~half the bytes of the raw upload.
     """
+    B, T, H, W = th.shape
+    if B * (T - 1) * H * W >= 2**31:
+        raise ValueError("delta encoding limited to <2^31 pixels (int32 flat indices)")
     px = th.astype(np.int32)
     d = np.diff(px, axis=1)
     shift = np.round(d.mean(axis=(2, 3))).astype(np.int32)

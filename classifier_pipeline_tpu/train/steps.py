@@ -37,10 +37,16 @@ def create_train_state(model, rng, input_shape, tx) -> TrainState:
     )
 
 
-def bce_loss(logits, labels, label_smoothing=0.0):
+def _smooth(labels, label_smoothing):
     if label_smoothing:
-        labels = labels * (1 - label_smoothing) + 0.5 * label_smoothing
-    return optax.sigmoid_binary_cross_entropy(logits, labels).mean()
+        return labels * (1 - label_smoothing) + 0.5 * label_smoothing
+    return labels
+
+
+def bce_loss(logits, labels, label_smoothing=0.0):
+    return optax.sigmoid_binary_cross_entropy(
+        logits, _smooth(labels, label_smoothing)
+    ).mean()
 
 
 def make_train_step(model, tx, multi_label=True, label_smoothing=0.0,
@@ -66,9 +72,7 @@ def make_train_step(model, tx, multi_label=True, label_smoothing=0.0,
         )
         if multi_label:
             per = optax.sigmoid_binary_cross_entropy(
-                logits,
-                labels * (1 - label_smoothing) + 0.5 * label_smoothing
-                if label_smoothing else labels,
+                logits, _smooth(labels, label_smoothing)
             ).mean(axis=-1)
         else:
             per = optax.softmax_cross_entropy(logits, labels)

@@ -61,3 +61,17 @@ def get_timezone_str(lat, lng):
     if 166 <= lng <= 179 and -48 <= lat <= -34:
         return "Pacific/Auckland"
     return "UTC"
+
+
+def normalize_host(data, new_max=255.0):
+    """Host-side reference imageprocessing.normalize (:151-169): min/max ->
+    0..new_max; returns (f32 array, success). Shared by dbtool image export,
+    the IR writer and previews — keep the flat-input edge case in one place."""
+    import numpy as np
+
+    mx, mn = float(data.max()), float(data.min())
+    if mx == mn:
+        if mx == 0:
+            return np.zeros(data.shape, np.float32), False
+        return data.astype(np.float32) / mx, False
+    return new_max * (data.astype(np.float32) - mn) / (mx - mn), True
