@@ -36,6 +36,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <string>
+#include <mutex>
 #include <thread>
 #include <utility>
 #include <vector>
@@ -480,6 +481,128 @@ int cptv_writer_close(void* h) {
   if (w->gz) rc = gzclose(w->gz);
   delete w;
   return rc;
+}
+
+// ------------------------------------------------------- NL-means (host) ----
+// cv2.fastNlMeansDenoising(u8, h=3)-equivalent for the host/CPU streaming
+// path (pipeline/streamtracker.py): the XLA formulation costs ~200ms/frame
+// on a weak host CPU, two orders over the 9 fps real-time budget. Same math
+// as ops/imageops.nl_means_denoise_u8: REFLECT_101 padding, 7x7 patch
+// box-sums (exact in int32), w = expf(-boxsum/(h^2*49)), round-half-up.
+// Box sums here are exact integers, so this is the *most* accurate of the
+// three implementations (XLA uses f32 cumsum-diff).
+
+static const int NLM_TPL = 7, NLM_SEARCH = 21;
+
+long long nl_means_u8(const uint8_t* img, long long Hn, long long Wn,
+                      int32_t* out) {
+  const int ts = NLM_TPL / 2, hs = NLM_SEARCH / 2, p = ts + hs;
+  const int H = (int)Hn, W = (int)Wn;
+  const int Hp = H + 2 * p, Wp = W + 2 * p;
+  const int Hb = H + 2 * ts, Wb = W + 2 * ts;
+  // weight LUT: boxsum <= 49*255^2 ~ 3.19e6 but expf underflows ~ -88
+  // => boxsum > 441*88 ~ 38809 gives w = 0
+  static std::vector<float> lut;
+  static const int LUT_MAX = 38810;
+  if (lut.empty()) {
+    lut.resize(LUT_MAX + 1);
+    const float inv = -1.0f / (3.0f * 3.0f * NLM_TPL * NLM_TPL);
+    for (int s = 0; s <= LUT_MAX; s++) lut[s] = expf(inv * (float)s);
+  }
+  // REFLECT_101 pad
+  std::vector<int32_t> pad((size_t)Hp * Wp);
+  auto refl = [](int i, int n) {
+    if (i < 0) i = -i;
+    if (i >= n) i = 2 * n - 2 - i;
+    return i;
+  };
+  for (int y = 0; y < Hp; y++) {
+    const uint8_t* row = img + (size_t)refl(y - p, H) * W;
+    int32_t* prow = pad.data() + (size_t)y * Wp;
+    for (int x = 0; x < Wp; x++) prow[x] = row[refl(x - p, W)];
+  }
+  std::vector<float> num((size_t)H * W, 0.0f), den((size_t)H * W, 0.0f);
+  std::mutex acc_mu;
+  long long hwc = (long long)std::thread::hardware_concurrency();
+  long long n_threads =
+      std::min<long long>(NLM_SEARCH, std::max<long long>(1, std::min<long long>(hwc, 8)));
+  std::vector<std::thread> threads;
+  for (long long w = 0; w < n_threads; w++) {
+    threads.emplace_back([&, w]() {
+      // local copies of the bounds + __restrict__ pointers: by-reference
+      // lambda captures defeat the vectorizer (it can't prove the bounds
+      // loop-invariant against the stores)
+      const int W_ = W, H_ = H, Wb_ = Wb, Hb_ = Hb, Wp_ = Wp;
+      const int ts_ = ts, hs2 = hs;
+      // row-major working buffers so every inner loop vectorizes across x
+      std::vector<int32_t> d2v((size_t)Hb_ * Wb_), vsumv((size_t)H_ * Wb_),
+          hsumv(W_);
+      std::vector<float> lnumv((size_t)H_ * W_, 0.0f),
+          ldenv((size_t)H_ * W_, 0.0f);
+      int32_t* __restrict__ d2 = d2v.data();
+      int32_t* __restrict__ vsum = vsumv.data();
+      int32_t* __restrict__ hsum = hsumv.data();
+      float* __restrict__ lnum = lnumv.data();
+      float* __restrict__ lden = ldenv.data();
+      const int32_t* __restrict__ padp = pad.data();
+      const float* __restrict__ lutp = lut.data();
+      for (int dy = (int)w; dy < NLM_SEARCH; dy += (int)n_threads) {
+        for (int dx = 0; dx < NLM_SEARCH; dx++) {
+          // d2 over the (Hb, Wb) patch-extended frame (SIMD across x)
+          for (int y = 0; y < Hb_; y++) {
+            const int32_t* __restrict__ sh = padp + (size_t)(y + dy) * Wp_ + dx;
+            const int32_t* __restrict__ bs = padp + (size_t)(y + hs2) * Wp_ + hs2;
+            int32_t* __restrict__ d = d2 + (size_t)y * Wb_;
+            for (int x = 0; x < Wb_; x++) {
+              int32_t diff = sh[x] - bs[x];
+              d[x] = diff * diff;
+            }
+          }
+          // vertical 7-sum: row-wise sliding (2 vector ops/px, exact int32)
+          for (int x = 0; x < Wb_; x++) {
+            int32_t s = d2[x];
+            for (int y = 1; y < NLM_TPL; y++) s += d2[(size_t)y * Wb_ + x];
+            vsum[x] = s;
+          }
+          for (int y = 1; y < H_; y++) {
+            const int32_t* __restrict__ add = d2 + (size_t)(y + NLM_TPL - 1) * Wb_;
+            const int32_t* __restrict__ sub = d2 + (size_t)(y - 1) * Wb_;
+            const int32_t* __restrict__ prev = vsum + (size_t)(y - 1) * Wb_;
+            int32_t* __restrict__ cur = vsum + (size_t)y * Wb_;
+            for (int x = 0; x < Wb_; x++) cur[x] = prev[x] + add[x] - sub[x];
+          }
+          // horizontal 7-sum (6 shifted vector adds) + LUT accumulate
+          for (int y = 0; y < H_; y++) {
+            const int32_t* __restrict__ v = vsum + (size_t)y * Wb_;
+            const int32_t* __restrict__ centre =
+                padp + (size_t)(y + dy + ts_) * Wp_ + dx + ts_;
+            float* __restrict__ ln = lnum + (size_t)y * W_;
+            float* __restrict__ ld = lden + (size_t)y * W_;
+            for (int x = 0; x < W_; x++)
+              hsum[x] = v[x] + v[x + 1] + v[x + 2] + v[x + 3] + v[x + 4] +
+                        v[x + 5] + v[x + 6];
+            for (int x = 0; x < W_; x++) {
+              int32_t s = hsum[x];
+              float wgt = s <= LUT_MAX ? lutp[s] : 0.0f;
+              ln[x] += wgt * (float)centre[x];
+              ld[x] += wgt;
+            }
+          }
+        }
+      }
+      std::lock_guard<std::mutex> lk(acc_mu);
+      for (size_t i = 0; i < (size_t)H * W; i++) {
+        num[i] += lnum[i];
+        den[i] += lden[i];
+      }
+    });
+  }
+  for (auto& t : threads) t.join();
+  for (size_t i = 0; i < (size_t)H * W; i++) {
+    float v = num[i] / den[i] + 0.5f;
+    out[i] = (int32_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+  }
+  return 0;
 }
 
 // ------------------------------------------------- delta upload encoder ----

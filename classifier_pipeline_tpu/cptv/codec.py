@@ -106,6 +106,10 @@ def _load_native():
     ]
     lib.cptv_writer_close.restype = ctypes.c_int
     lib.cptv_writer_close.argtypes = [ctypes.c_void_p]
+    lib.nl_means_u8.restype = ctypes.c_longlong
+    lib.nl_means_u8.argtypes = [
+        ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong, ctypes.c_void_p,
+    ]
     lib.delta_encode_u16.restype = ctypes.c_longlong
     lib.delta_encode_u16.argtypes = [
         ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
@@ -114,6 +118,21 @@ def _load_native():
     ]
     _lib = lib
     return _lib
+
+
+def nl_means_u8_host(img):
+    """Native NL-means (see _native nl_means_u8) for the CPU streaming path.
+    img: (H, W) uint8-range array. Returns (H, W) int32, or None when the
+    native lib is unavailable."""
+    import numpy as np
+
+    lib = _load_native()
+    if lib is None:
+        return None
+    img = np.ascontiguousarray(img, np.uint8)
+    out = np.empty(img.shape, np.int32)
+    lib.nl_means_u8(img.ctypes.data, img.shape[0], img.shape[1], out.ctypes.data)
+    return out
 
 
 def delta_encode_u16(th, cap: int = 1 << 20):

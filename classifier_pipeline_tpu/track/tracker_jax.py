@@ -182,6 +182,20 @@ def unpack_mask(packed: np.ndarray) -> np.ndarray:
     return bits * np.uint8(255)
 
 
+def _host_nlmeans_available() -> bool:
+    if os.environ.get("CPTPU_HOST_NLMEANS", "1") == "0":
+        return False
+    from classifier_pipeline_tpu.cptv import codec
+
+    return codec._load_native() is not None
+
+
+def _host_nlmeans_cb(u8_i32: np.ndarray) -> np.ndarray:
+    from classifier_pipeline_tpu.cptv.codec import nl_means_u8_host
+
+    return nl_means_u8_host(u8_i32.astype(np.uint8))
+
+
 def _round_half_even_div(d: jax.Array, n) -> jax.Array:
     """Python round(d/n) for int32 d, positive int n — exact banker's."""
     d = d.astype(jnp.int32)
@@ -362,6 +376,16 @@ def make_scan_step(p: TrackingParams):
                     # VMEM-resident Pallas kernel: ~8x the XLA formulation,
                     # bit-identical output
                     obj = pallas_nlmeans.nl_means_denoise_u8_single(u8)
+                elif _host_nlmeans_available():
+                    # CPU backend: the native C kernel (~10x the XLA
+                    # formulation on the Pi-class hosts streaming runs on;
+                    # bit-identical — exact int32 box sums)
+                    obj = jax.pure_callback(
+                        _host_nlmeans_cb,
+                        jax.ShapeDtypeStruct(u8.shape, jnp.int32),
+                        u8,
+                        vmap_method="sequential",
+                    )
                 else:
                     obj = ops.nl_means_denoise_u8(u8)
             else:
