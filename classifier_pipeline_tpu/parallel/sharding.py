@@ -68,3 +68,67 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+def track_clips_batch_sharded(thermals, ffcs, params, mesh,
+                              backgrounds=None, bucket=32):
+    """Fleet-scale batch extraction: shard a clip batch over the mesh's
+    'data' axis and run the whole-clip tracking scan SPMD.
+
+    The TPU-native replacement for the reference's multiprocessing.Pool over
+    files (reference src/track/trackextractor.py:80-85) at multi-chip scale:
+    clips are independent, so XLA partitions the vmapped scan along the batch
+    axis with no inter-chip collectives in the hot loop (the CCL while_loop's
+    global convergence test is the only cross-chip reduction). Returns
+    per-clip (rows, carry) like tracker_jax.track_clips_batch.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from classifier_pipeline_tpu.track import tracker_jax
+
+    n_data = mesh.devices.shape[0]
+    n_real = len(thermals)
+    pad_clips = (-n_real) % n_data
+    if pad_clips:
+        thermals = list(thermals) + [thermals[-1]] * pad_clips
+        ffcs = list(ffcs) + [ffcs[-1]] * pad_clips
+        if backgrounds is not None:
+            backgrounds = list(backgrounds) + [backgrounds[-1]] * pad_clips
+
+    B = len(thermals)
+    T = tracker_jax._round_up(max(t.shape[0] for t in thermals), bucket)
+    H, W = params.res_y, params.res_x
+    th = np.zeros((B, T, H, W), np.uint16)
+    ffc_pad = np.ones((B, T), bool)
+    carries = []
+    for i, thermal in enumerate(thermals):
+        t = thermal.shape[0]
+        th[i, :t] = thermal.astype(np.uint16)
+        th[i, t:] = thermal[-1].astype(np.uint16)
+        ffc_pad[i, :t] = ffcs[i]
+        bg = backgrounds[i] if backgrounds is not None else thermal[0]
+        carries.append(tracker_jax.init_carry(params, bg))
+    carry0 = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *carries)
+
+    data_first = lambda a: NamedSharding(
+        mesh, P(*(("data",) + (None,) * (a.ndim - 1)))
+    )
+    th_dev = jax.device_put(th, data_first(th))
+    ffc_dev = jax.device_put(ffc_pad, data_first(ffc_pad))
+    carry0 = jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, data_first(a)), carry0
+    )
+    with mesh:
+        carry, rows = tracker_jax._track_scan_batch(
+            params, carry0, th_dev, ffc_dev
+        )
+    rows = tracker_jax.fetch_rows(rows)
+    backgrounds_np = np.asarray(carry.background)
+    out = []
+    for i in range(n_real):
+        t = thermals[i].shape[0]
+        clip_rows = jax.tree_util.tree_map(lambda a: a[:t, i], rows)
+        host_carry = tracker_jax._HostCarry(backgrounds_np[i])
+        host_carry.thermal_dev16 = th_dev[i]
+        out.append((clip_rows, host_carry))
+    return out

@@ -72,3 +72,48 @@ def test_hedgehog_runs(hedgehog_cptv):
     assert len(res.tracks) >= 1
     t = res.metadata["tracks"][0]
     assert t["num_frames"] > 9
+
+
+def test_sharded_batch_matches_single_device(possum_cptv):
+    """Fleet-scale extraction: the data-sharded SPMD scan over an 8-device
+    mesh produces the same rows as the single-device batch path."""
+    import jax
+    import numpy as np
+
+    from classifier_pipeline_tpu.cptv import load_cptv
+    from classifier_pipeline_tpu.parallel.sharding import (
+        make_mesh,
+        track_clips_batch_sharded,
+    )
+    from classifier_pipeline_tpu.track import tracker_jax
+    from classifier_pipeline_tpu.track.tracker_jax import TrackingParams
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the 8-device virtual CPU mesh")
+
+    clip = load_cptv(possum_cptv)
+    mask = ~clip.is_background
+    thermal = clip.pixels[mask]
+    t = clip.time_on_ms[mask].astype(np.int64)
+    c = clip.last_ffc_ms[mask].astype(np.int64)
+    ffc = (t - c) < 9
+    params = TrackingParams(weight_add=0.1, emit_mask=True)
+
+    thermals = [thermal] * 3  # 3 clips over 8 devices exercises padding
+    ffcs = [ffc] * 3
+    bgs = [clip.pixels[0]] * 3
+
+    single = tracker_jax.track_clips_batch(thermals, ffcs, params, bgs)
+    mesh = make_mesh(8)
+    sharded = track_clips_batch_sharded(thermals, ffcs, params, mesh, bgs)
+    assert len(sharded) == 3
+    for (r1, _), (r2, _) in zip(single, sharded):
+        np.testing.assert_array_equal(np.asarray(r1.emitted), np.asarray(r2.emitted))
+        np.testing.assert_array_equal(np.asarray(r1.x), np.asarray(r2.x))
+        np.testing.assert_array_equal(np.asarray(r1.y), np.asarray(r2.y))
+        np.testing.assert_array_equal(np.asarray(r1.mass), np.asarray(r2.mass))
+        np.testing.assert_allclose(
+            np.asarray(r1.variance), np.asarray(r2.variance), rtol=1e-5
+        )
