@@ -74,9 +74,20 @@ def tpu_backend() -> bool:
     return platform in ("tpu", "axon")
 
 
+@jax.custom_batching.custom_vmap
 def nl_means_denoise_u8_single(img: jax.Array) -> jax.Array:
-    """(H, W) single-image wrapper (vmap adds the batch grid dim)."""
+    """(H, W) single-image wrapper. Under vmap (the batched clip scan), the
+    custom batch rule routes to the lane-packed pair kernel instead of a
+    trivially-batched grid — ~25% fewer VPU tiles, bit-identical output."""
     return nl_means_denoise_u8_pallas(img[None])[0]
+
+
+@nl_means_denoise_u8_single.def_vmap
+def _nl_means_batch_rule(axis_size, in_batched, img):
+    del axis_size
+    if not in_batched[0]:  # pragma: no cover - unbatched under vmap
+        return nl_means_denoise_u8_pallas(img[None])[0], False
+    return nl_means_denoise_u8_pallas_packed(img), True
 
 
 def nl_means_denoise_u8_pallas(img_batch: jax.Array) -> jax.Array:
@@ -107,3 +118,88 @@ def nl_means_denoise_u8_pallas(img_batch: jax.Array) -> jax.Array:
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.int32),
     )(shifts)
+
+
+def _kernel_packed(shifts_ref, out_ref, *, H, W, seg):
+    """Two images per program, packed side-by-side along the lane axis.
+
+    Each image occupies a `seg`-wide strip of the packed row (its full
+    reflect-padded width), so every dx slice of width seg+Wb covers both
+    images' windows at fixed offsets 0 and seg — the arithmetic per image is
+    identical to _kernel (bit-exact), but the VPU lane tiles are shared:
+    ceil(352/128)=3 tiles for the pair instead of 2*ceil(166/128)=4.
+    Columns [Wb, seg) of each strip are cross-image junk; they are computed
+    but never read by the outputs.
+    """
+    ts = TEMPLATE // 2
+    hs = SEARCH // 2
+    inv = -1.0 / (H_PARAM * H_PARAM * TEMPLATE * TEMPLATE)
+    Hb = H + 2 * ts
+    Wb = W + 2 * ts
+    Wk = seg + Wb  # packed working width: both windows + junk gap
+    base = shifts_ref[0, hs, :, hs : hs + Wk]
+
+    def row_body(dy, carry):
+        num, den = carry
+        row = shifts_ref[0, dy]
+
+        for dx in range(SEARCH):
+            sh = jax.lax.slice(row, (0, dx), (Hb, dx + Wk))
+            d2 = (sh - base) ** 2
+            rb = jax.lax.slice(d2, (0, 0), (H, Wk))
+            for r in range(1, TEMPLATE):
+                rb = rb + jax.lax.slice(d2, (r, 0), (r + H, Wk))
+            cb = jax.lax.slice(rb, (0, 0), (H, Wk - 2 * ts))
+            for c in range(1, TEMPLATE):
+                cb = cb + jax.lax.slice(rb, (0, c), (H, c + Wk - 2 * ts))
+            w = jnp.exp(cb * inv)
+            centre = jax.lax.slice(sh, (ts, ts), (ts + H, ts + Wk - 2 * ts))
+            num = num + w * centre
+            den = den + w
+        return num, den
+
+    num0 = jnp.zeros((H, Wk - 2 * ts), jnp.float32)
+    den0 = jnp.zeros((H, Wk - 2 * ts), jnp.float32)
+    num, den = jax.lax.fori_loop(0, SEARCH, row_body, (num0, den0))
+    out = num / den
+    out = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.int32)
+    out_ref[0, 0] = jax.lax.slice(out, (0, 0), (H, W))
+    out_ref[0, 1] = jax.lax.slice(out, (0, seg), (H, seg + W))
+
+
+def nl_means_denoise_u8_pallas_packed(img_batch: jax.Array) -> jax.Array:
+    """Lane-packed variant: pairs of images share one program's lane tiles.
+    Bit-identical to nl_means_denoise_u8_pallas; ~25% fewer VPU tiles at
+    160x120. Odd batches are padded with a copy of the last image."""
+    B, H, W = img_batch.shape
+    if B % 2:
+        img_batch = jnp.concatenate([img_batch, img_batch[-1:]], axis=0)
+    Bp = img_batch.shape[0]
+    ts = TEMPLATE // 2
+    p = SEARCH // 2 + ts
+    Hb = H + 2 * ts
+    seg = W + 2 * p
+    x = img_batch.astype(jnp.float32)
+    xpad = jnp.pad(x, ((0, 0), (p, p), (p, p)), mode="reflect")
+    packed = xpad.reshape(Bp // 2, 2, H + 2 * p, seg)
+    packed = jnp.concatenate([packed[:, 0], packed[:, 1]], axis=-1)
+    shifts = jnp.stack(
+        [packed[:, dy : dy + Hb, :] for dy in range(SEARCH)], axis=1
+    )
+    kernel = functools.partial(_kernel_packed, H=H, W=W, seg=seg)
+    out = pl.pallas_call(
+        kernel,
+        grid=(Bp // 2,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, SEARCH, Hb, 2 * seg),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 2, H, W), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((Bp // 2, 2, H, W), jnp.int32),
+    )(shifts)
+    return out.reshape(Bp, H, W)[:B]
