@@ -192,3 +192,39 @@ def test_class_weighted_train_step():
     _, m1 = weighted(state, images, labels, rng)
     # half the batch has label 0 with weight 2 -> loss scaled by 1.5
     assert float(m1["loss"]) == pytest.approx(1.5 * float(m0["loss"]), rel=1e-4)
+
+
+def test_full_loop_build_train_classify(tagged_corpus, tmp_path):
+    """End-to-end mirror of the reference CI: build.py over the fixture
+    corpus -> 1-epoch training of a tiny model -> classify the clip with the
+    trained artifact (reference .github/workflows/release.yml e2e steps)."""
+    from classifier_pipeline_tpu.cli import build
+    from classifier_pipeline_tpu.config.config import Config, ModelConfig
+    from classifier_pipeline_tpu.pipeline.clipclassifier import ClipClassifier
+    from classifier_pipeline_tpu.train.trainer import Trainer
+
+    records = tmp_path / "records"
+    rc = build.main([str(tagged_corpus), "-o", str(records), "--seed", "3",
+                     "--num-shards", "1"])
+    assert rc == 0
+
+    out = tmp_path / "run"
+    trainer = Trainer(
+        "e2e", records, out, model_name="wr-resnet",
+        hyperparams={"depth": 10, "k": 1, "square_width": 5, "frame_size": 32},
+        seed=0,
+    )
+    trainer.train(epochs=1, batch_size=4)
+    model_json = out / "e2e.json"
+    assert model_json.exists() and (out / "e2e.msgpack").exists()
+    meta = json.loads(model_json.read_text())
+    assert "possum" in meta["labels"]
+
+    model = ModelConfig(id=1, name="trained", model_file=str(model_json))
+    cc = ClipClassifier(Config({}), model=model, seed=42)
+    result = cc.process_file(tagged_corpus / "possum.cptv")
+    preds = [t.get("predictions") for t in result["tracks"]]
+    assert any(preds), "trained model produced no predictions"
+    for track_preds in preds:
+        for pm in track_preds or []:
+            assert "label" in pm or "predictions" in pm or pm
