@@ -29,6 +29,7 @@
 // frame and the previous frame.  Decoding = cumulative sum along the snake,
 // un-snake, add previous frame.  The background frame (if present) is frame 0
 // and is chained into the per-frame deltas like any other frame.
+#include <algorithm>
 #include <atomic>
 #include <cmath>
 #include <cstdint>
@@ -488,9 +489,13 @@ int cptv_writer_close(void* h) {
 // path (pipeline/streamtracker.py): the XLA formulation costs ~200ms/frame
 // on a weak host CPU, two orders over the 9 fps real-time budget. Same math
 // as ops/imageops.nl_means_denoise_u8: REFLECT_101 padding, 7x7 patch
-// box-sums (exact in int32), w = expf(-boxsum/(h^2*49)), round-half-up.
-// Box sums here are exact integers, so this is the *most* accurate of the
-// three implementations (XLA uses f32 cumsum-diff).
+// box-sums (exact in int32), w = expf(-boxsum/(h^2*49)), f64 num/den
+// accumulation, round-half-up. Matches cv2 exactly on realistic thermal
+// contrast; on degenerate near-flat frames all float implementations
+// (this, XLA, Pallas) sit within +-1 gray level of cv2's fixed-point LUT
+// (covered by tests/test_imageops.py::test_native_nlmeans_vs_cv2_oracle).
+// The fixed 8-stripe partition + ordered merge makes results identical on
+// any machine / core count.
 
 static const int NLM_TPL = 7, NLM_SEARCH = 21;
 
@@ -502,13 +507,13 @@ long long nl_means_u8(const uint8_t* img, long long Hn, long long Wn,
   const int Hb = H + 2 * ts, Wb = W + 2 * ts;
   // weight LUT: boxsum <= 49*255^2 ~ 3.19e6 but expf underflows ~ -88
   // => boxsum > 441*88 ~ 38809 gives w = 0
-  static std::vector<float> lut;
   static const int LUT_MAX = 38810;
-  if (lut.empty()) {
-    lut.resize(LUT_MAX + 1);
+  static const std::vector<float>& lut = *[] {
+    auto* t = new std::vector<float>(LUT_MAX + 1);
     const float inv = -1.0f / (3.0f * 3.0f * NLM_TPL * NLM_TPL);
-    for (int s = 0; s <= LUT_MAX; s++) lut[s] = expf(inv * (float)s);
-  }
+    for (int s = 0; s <= LUT_MAX; s++) (*t)[s] = expf(inv * (float)s);
+    return t;
+  }();  // C++11 static init: thread-safe
   // REFLECT_101 pad
   std::vector<int32_t> pad((size_t)Hp * Wp);
   auto refl = [](int i, int n) {
@@ -521,11 +526,15 @@ long long nl_means_u8(const uint8_t* img, long long Hn, long long Wn,
     int32_t* prow = pad.data() + (size_t)y * Wp;
     for (int x = 0; x < Wp; x++) prow[x] = row[refl(x - p, W)];
   }
-  std::vector<float> num((size_t)H * W, 0.0f), den((size_t)H * W, 0.0f);
-  std::mutex acc_mu;
+  std::vector<double> num((size_t)H * W, 0.0), den((size_t)H * W, 0.0);
+  // fixed stripe partition + ordered merge => identical float results on
+  // any machine / core count (only parallelism varies, not arithmetic)
+  const long long n_stripes = 8;
+  std::vector<std::vector<double>> pnum(n_stripes), pden(n_stripes);
   long long hwc = (long long)std::thread::hardware_concurrency();
-  long long n_threads =
-      std::min<long long>(NLM_SEARCH, std::max<long long>(1, std::min<long long>(hwc, 8)));
+  long long n_threads = std::max<long long>(
+      1, std::min<long long>(n_stripes, (long long)(hwc ? hwc : 1)));
+  std::atomic<long long> next_stripe(0);
   std::vector<std::thread> threads;
   for (long long w = 0; w < n_threads; w++) {
     threads.emplace_back([&, w]() {
@@ -537,16 +546,20 @@ long long nl_means_u8(const uint8_t* img, long long Hn, long long Wn,
       // row-major working buffers so every inner loop vectorizes across x
       std::vector<int32_t> d2v((size_t)Hb_ * Wb_), vsumv((size_t)H_ * Wb_),
           hsumv(W_);
-      std::vector<float> lnumv((size_t)H_ * W_, 0.0f),
-          ldenv((size_t)H_ * W_, 0.0f);
+      std::vector<double> lnumv((size_t)H_ * W_, 0.0),
+          ldenv((size_t)H_ * W_, 0.0);
       int32_t* __restrict__ d2 = d2v.data();
       int32_t* __restrict__ vsum = vsumv.data();
       int32_t* __restrict__ hsum = hsumv.data();
-      float* __restrict__ lnum = lnumv.data();
-      float* __restrict__ lden = ldenv.data();
+      double* __restrict__ lnum = lnumv.data();
+      double* __restrict__ lden = ldenv.data();
       const int32_t* __restrict__ padp = pad.data();
       const float* __restrict__ lutp = lut.data();
-      for (int dy = (int)w; dy < NLM_SEARCH; dy += (int)n_threads) {
+      long long stripe;
+      while ((stripe = next_stripe.fetch_add(1)) < n_stripes) {
+      std::fill(lnumv.begin(), lnumv.end(), 0.0);
+      std::fill(ldenv.begin(), ldenv.end(), 0.0);
+      for (int dy = (int)stripe; dy < NLM_SEARCH; dy += (int)n_stripes) {
         for (int dx = 0; dx < NLM_SEARCH; dx++) {
           // d2 over the (Hb, Wb) patch-extended frame (SIMD across x)
           for (int y = 0; y < Hb_; y++) {
@@ -576,30 +589,35 @@ long long nl_means_u8(const uint8_t* img, long long Hn, long long Wn,
             const int32_t* __restrict__ v = vsum + (size_t)y * Wb_;
             const int32_t* __restrict__ centre =
                 padp + (size_t)(y + dy + ts_) * Wp_ + dx + ts_;
-            float* __restrict__ ln = lnum + (size_t)y * W_;
-            float* __restrict__ ld = lden + (size_t)y * W_;
+            double* __restrict__ ln = lnum + (size_t)y * W_;
+            double* __restrict__ ld = lden + (size_t)y * W_;
             for (int x = 0; x < W_; x++)
               hsum[x] = v[x] + v[x + 1] + v[x + 2] + v[x + 3] + v[x + 4] +
                         v[x + 5] + v[x + 6];
             for (int x = 0; x < W_; x++) {
               int32_t s = hsum[x];
               float wgt = s <= LUT_MAX ? lutp[s] : 0.0f;
-              ln[x] += wgt * (float)centre[x];
-              ld[x] += wgt;
+              ln[x] += (double)wgt * (double)centre[x];
+              ld[x] += (double)wgt;
             }
           }
         }
       }
-      std::lock_guard<std::mutex> lk(acc_mu);
-      for (size_t i = 0; i < (size_t)H * W; i++) {
-        num[i] += lnum[i];
-        den[i] += lden[i];
-      }
+      pnum[stripe] = lnumv;
+      pden[stripe] = ldenv;
+      }  // while stripes
     });
   }
   for (auto& t : threads) t.join();
+  // merge partials in fixed stripe order: identical results on any host
+  for (long long s = 0; s < n_stripes; s++) {
+    for (size_t i = 0; i < (size_t)H * W; i++) {
+      num[i] += pnum[s][i];
+      den[i] += pden[s][i];
+    }
+  }
   for (size_t i = 0; i < (size_t)H * W; i++) {
-    float v = num[i] / den[i] + 0.5f;
+    double v = num[i] / den[i] + 0.5;
     out[i] = (int32_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
   }
   return 0;

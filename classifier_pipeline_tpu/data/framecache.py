@@ -125,10 +125,13 @@ class FrameCache:
         g = frames.create_group(str(frame.frame_number))
         g.attrs["ffc_affected"] = frame.ffc_affected
         shaped = next(
-            a for a in (frame.thermal, frame.filtered, frame.mask)
-            if a is not None
+            (a for a in (frame.thermal, frame.filtered, frame.mask, frame.flow)
+             if a is not None),
+            None,
         )
-        height, width = shaped.shape
+        if shaped is None:
+            raise ValueError("frame has no channels to cache")
+        height, width = shaped.shape[:2]
         channels, data = [], []
         if frame.thermal is not None:
             channels.append(TrackChannels.thermal.value)

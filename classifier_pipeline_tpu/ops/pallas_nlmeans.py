@@ -32,7 +32,7 @@ TEMPLATE = 7
 SEARCH = 21
 
 
-def _kernel(shifts_ref, out_ref, *, H, W):
+def _kernel(shifts_ref, out_ref, *, H, W, TEMPLATE=TEMPLATE, SEARCH=SEARCH):
     ts = TEMPLATE // 2
     hs = SEARCH // 2
     inv = -1.0 / (H_PARAM * H_PARAM * TEMPLATE * TEMPLATE)
@@ -90,7 +90,8 @@ def _nl_means_batch_rule(axis_size, in_batched, img):
     return nl_means_denoise_u8_pallas_packed(img), True
 
 
-def nl_means_denoise_u8_pallas(img_batch: jax.Array) -> jax.Array:
+def nl_means_denoise_u8_pallas(img_batch: jax.Array, *, TEMPLATE=TEMPLATE,
+                               SEARCH=SEARCH) -> jax.Array:
     """img_batch: (B, H, W) int 0..255 -> (B, H, W) int32 denoised."""
     B, H, W = img_batch.shape
     ts = TEMPLATE // 2
@@ -102,7 +103,8 @@ def nl_means_denoise_u8_pallas(img_batch: jax.Array) -> jax.Array:
     shifts = jnp.stack(
         [xpad[:, dy : dy + Hb, :] for dy in range(SEARCH)], axis=1
     )
-    kernel = functools.partial(_kernel, H=H, W=W)
+    kernel = functools.partial(_kernel, H=H, W=W, TEMPLATE=TEMPLATE,
+                               SEARCH=SEARCH)
     return pl.pallas_call(
         kernel,
         grid=(B,),
@@ -120,7 +122,7 @@ def nl_means_denoise_u8_pallas(img_batch: jax.Array) -> jax.Array:
     )(shifts)
 
 
-def _kernel_packed(shifts_ref, out_ref, *, H, W, seg):
+def _kernel_packed(shifts_ref, out_ref, *, H, W, seg, TEMPLATE=TEMPLATE, SEARCH=SEARCH):
     """Two images per program, packed side-by-side along the lane axis.
 
     Each image occupies a `seg`-wide strip of the packed row (its full
@@ -167,7 +169,9 @@ def _kernel_packed(shifts_ref, out_ref, *, H, W, seg):
     out_ref[0, 1] = jax.lax.slice(out, (0, seg), (H, seg + W))
 
 
-def nl_means_denoise_u8_pallas_packed(img_batch: jax.Array) -> jax.Array:
+def nl_means_denoise_u8_pallas_packed(img_batch: jax.Array, *,
+                                      TEMPLATE=TEMPLATE,
+                                      SEARCH=SEARCH) -> jax.Array:
     """Lane-packed variant: pairs of images share one program's lane tiles.
     Bit-identical to nl_means_denoise_u8_pallas; ~25% fewer VPU tiles at
     160x120. Odd batches are padded with a copy of the last image."""
@@ -186,7 +190,8 @@ def nl_means_denoise_u8_pallas_packed(img_batch: jax.Array) -> jax.Array:
     shifts = jnp.stack(
         [packed[:, dy : dy + Hb, :] for dy in range(SEARCH)], axis=1
     )
-    kernel = functools.partial(_kernel_packed, H=H, W=W, seg=seg)
+    kernel = functools.partial(_kernel_packed, H=H, W=W, seg=seg,
+                               TEMPLATE=TEMPLATE, SEARCH=SEARCH)
     out = pl.pallas_call(
         kernel,
         grid=(Bp // 2,),

@@ -95,20 +95,9 @@ def track_clips_batch_sharded(thermals, ffcs, params, mesh,
         if backgrounds is not None:
             backgrounds = list(backgrounds) + [backgrounds[-1]] * pad_clips
 
-    B = len(thermals)
-    T = tracker_jax._round_up(max(t.shape[0] for t in thermals), bucket)
-    H, W = params.res_y, params.res_x
-    th = np.zeros((B, T, H, W), np.uint16)
-    ffc_pad = np.ones((B, T), bool)
-    carries = []
-    for i, thermal in enumerate(thermals):
-        t = thermal.shape[0]
-        th[i, :t] = thermal.astype(np.uint16)
-        th[i, t:] = thermal[-1].astype(np.uint16)
-        ffc_pad[i, :t] = ffcs[i]
-        bg = backgrounds[i] if backgrounds is not None else thermal[0]
-        carries.append(tracker_jax.init_carry(params, bg))
-    carry0 = jax.tree_util.tree_map(lambda *xs: np.stack(xs), *carries)
+    th, ffc_pad, carry0 = tracker_jax._pad_clip_batch(
+        thermals, ffcs, params, backgrounds, bucket
+    )
 
     data_first = lambda a: NamedSharding(
         mesh, P(*(("data",) + (None,) * (a.ndim - 1)))

@@ -185,6 +185,11 @@ def unpack_mask(packed: np.ndarray) -> np.ndarray:
 def _host_nlmeans_available() -> bool:
     if os.environ.get("CPTPU_HOST_NLMEANS", "1") == "0":
         return False
+    # host callback only pays off when the computation is ALREADY on the
+    # host — on any accelerator backend a per-frame device<->host round trip
+    # inside the scan would be catastrophic
+    if jax.devices()[0].platform != "cpu":
+        return False
     from classifier_pipeline_tpu.cptv import codec
 
     return codec._load_native() is not None
@@ -379,7 +384,8 @@ def make_scan_step(p: TrackingParams):
                 elif _host_nlmeans_available():
                     # CPU backend: the native C kernel (~10x the XLA
                     # formulation on the Pi-class hosts streaming runs on;
-                    # bit-identical — exact int32 box sums)
+                    # cv2-exact on realistic contrast, +-1 gray level on
+                    # degenerate flat frames like every float NL-means here)
                     obj = jax.pure_callback(
                         _host_nlmeans_cb,
                         jax.ShapeDtypeStruct(u8.shape, jnp.int32),
@@ -1001,6 +1007,33 @@ def _decode_delta_u16(first_i32, resid_i8, shift_i32, exc_idx, exc_val):
     return th.astype(jnp.uint16)
 
 
+def _pad_clip_batch(thermals, ffcs, params, backgrounds=None, bucket=32):
+    """Pad a clip list to a common frame-count bucket and stack the carries.
+
+    Padding frames replicate each clip's LAST real frame and are FFC-flagged:
+    FFC steps emit no rows and drop tracks, so padding cannot create or
+    extend tracks, and replica padding keeps the background model at the
+    clip's final state (zero padding would drag it toward 0) while keeping
+    the compressed upload deltas tiny. Shared by the single-device dispatch
+    and the mesh-sharded SPMD path so their semantics cannot diverge.
+    """
+    B = len(thermals)
+    T = _round_up(max(t.shape[0] for t in thermals), bucket)
+    H, W = params.res_y, params.res_x
+    th = np.zeros((B, T, H, W), np.uint16)
+    ffc_pad = np.ones((B, T), bool)  # padding = FFC (inert)
+    carries = []
+    for i, thermal in enumerate(thermals):
+        t = thermal.shape[0]
+        th[i, :t] = thermal.astype(np.uint16)
+        th[i, t:] = thermal[-1].astype(np.uint16)
+        ffc_pad[i, :t] = ffcs[i]
+        bg = backgrounds[i] if backgrounds is not None else thermal[0]
+        carries.append(init_carry(params, bg))
+    carry0 = jax.tree.map(lambda *xs: np.stack(xs), *carries)
+    return th, ffc_pad, carry0
+
+
 def track_clips_batch_dispatch(
     thermals: list,
     ffcs: list,
@@ -1015,24 +1048,10 @@ def track_clips_batch_dispatch(
     still computing and overlap tunnel transfers with device compute.
     Returns an opaque handle for track_clips_batch_collect.
     """
-    T = _round_up(max(t.shape[0] for t in thermals), bucket)
-    B = len(thermals)
-    H, W = params.res_y, params.res_x
-    th = np.zeros((B, T, H, W), np.uint16)
-    ffc_pad = np.ones((B, T), bool)  # padding = FFC (inert)
-    carries = []
-    for i, thermal in enumerate(thermals):
-        t = thermal.shape[0]
-        th[i, :t] = thermal.astype(np.uint16)
-        # pad with the last real frame: padded steps are FFC-inert for
-        # tracking, this keeps the background model at the clip's final
-        # state (zero padding would drag it to 0) and keeps upload deltas
-        # tiny for the compressed transfer
-        th[i, t:] = thermal[-1].astype(np.uint16)
-        ffc_pad[i, :t] = ffcs[i]
-        bg = backgrounds[i] if backgrounds is not None else thermal[0]
-        carries.append(init_carry(params, bg))
-    carry0 = jax.tree.map(lambda *xs: np.stack(xs), *carries)
+    th, ffc_pad, carry0 = _pad_clip_batch(
+        thermals, ffcs, params, backgrounds, bucket
+    )
+    T = th.shape[1]
     enc = None
     if T >= 2 and os.environ.get("CPTPU_DELTA_UPLOAD", "1") != "0":
         # halve the host->device bytes: int8 delta stream + exceptions,

@@ -227,4 +227,4 @@ def test_full_loop_build_train_classify(tagged_corpus, tmp_path):
     assert any(preds), "trained model produced no predictions"
     for track_preds in preds:
         for pm in track_preds or []:
-            assert "label" in pm or "predictions" in pm or pm
+            assert "tag" in pm and "model_id" in pm and "confidence" in pm

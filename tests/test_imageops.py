@@ -165,3 +165,62 @@ def test_delta_upload_codec_bit_exact():
         tracker_jax._decode_delta_u16(*(jnp.asarray(a) for a in enc2))
     )
     np.testing.assert_array_equal(dec2, th)
+
+
+def test_native_nlmeans_vs_cv2_oracle():
+    """Native C NL-means (the CPU streaming path) against the cv2 reference,
+    including the low-contrast regimes where float implementations can drift:
+    exact on normal scenes, within 1 gray level on degenerate flat frames
+    (cv2's fixed-point LUT rounds differently there for ANY float impl —
+    the XLA fallback shows the same +-1 envelope)."""
+    import numpy as np
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    from classifier_pipeline_tpu.cptv.codec import nl_means_u8_host
+
+    if nl_means_u8_host(np.zeros((8, 8), np.uint8)) is None:
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(1)
+    # realistic thermal contrast: must match cv2 exactly
+    for _ in range(3):
+        img = np.clip(rng.normal(80, 40, (120, 160)), 0, 255).astype(np.uint8)
+        want = cv2.fastNlMeansDenoising(img, None).astype(np.int32)
+        np.testing.assert_array_equal(nl_means_u8_host(img), want)
+    # low-contrast degenerate frames: within 1 gray level of cv2
+    for amp in (1, 2, 4, 16):
+        img = (120 + rng.integers(0, amp + 1, (120, 160))).astype(np.uint8)
+        want = cv2.fastNlMeansDenoising(img, None).astype(np.int32)
+        got = nl_means_u8_host(img)
+        assert np.abs(got - want).max() <= 1
+
+
+def test_pallas_packed_nlmeans_interpret_parity():
+    """Lane-packed NL-means kernel == unpacked kernel, run in Pallas
+    interpret mode so the index math is covered on CPU (the TPU bench is
+    otherwise its only exercise)."""
+    import functools
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from classifier_pipeline_tpu.ops import pallas_nlmeans as pn
+
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(
+        np.clip(rng.normal(80, 40, (3, 14, 18)), 0, 255).astype(np.int32)
+    )
+    # a small search window keeps interpret mode fast while exercising the
+    # exact same packing/slice index math
+    kw = dict(TEMPLATE=3, SEARCH=5)
+    with jax.disable_jit():  # interpret pallas on CPU
+        import unittest.mock as mock
+
+        with mock.patch.object(pl, "pallas_call",
+                               functools.partial(pl.pallas_call,
+                                                 interpret=True)):
+            a = np.asarray(pn.nl_means_denoise_u8_pallas(imgs, **kw))
+            b = np.asarray(pn.nl_means_denoise_u8_pallas_packed(imgs, **kw))
+    np.testing.assert_array_equal(a, b)
