@@ -610,9 +610,19 @@ def classify_clip_batch_dispatch(interpreter, ctxs, track_lists, min_segments=1)
     H, W = ctxs[0]._thermal_np.shape[1:]
     dev_thermals = [getattr(c, "thermal_dev16", None) for c in ctxs]
     if all(d is not None for d in dev_thermals):
-        # reuse the tracking scan's device-resident upload (already padded
-        # to a common T bucket)
-        T = int(dev_thermals[0].shape[0])
+        # reuse the tracking scan's device-resident upload. Scan groups pad
+        # to per-length-bucket T, so pad each slice (device-side, cheap) to
+        # the chunk max before stacking; padded frames are never indexed by
+        # any segment.
+        T = max(int(d.shape[0]) for d in dev_thermals)
+        dev_thermals = [
+            d
+            if int(d.shape[0]) == T
+            else jnp.concatenate(
+                [d, jnp.zeros((T - int(d.shape[0]), H, W), d.dtype)], axis=0
+            )
+            for d in dev_thermals
+        ]
         thermal_all = jnp.stack(dev_thermals)
     else:
         T = max(int(c._thermal_np.shape[0]) for c in ctxs)

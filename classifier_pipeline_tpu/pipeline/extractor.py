@@ -167,23 +167,36 @@ class ClipTrackExtractor:
                     zip(paths, clip_ids),
                 )
             )
-        by_params = {}
+        # Group by (static params, frame-count bucket): padding every clip to
+        # the batch MAX length wastes scan compute and upload bytes on mixed
+        # corpora (a 150-frame clip padded to a 400-frame batch runs 2.7x the
+        # work). Same-bucket clips scan together; groups are split into
+        # power-of-two-sized subgroups so the set of compiled (B, T) shapes
+        # stays small (binary decomposition: 17 clips -> scans of 16 + 1).
+        by_key = {}
         for i, pre in enumerate(prepped):
-            by_params.setdefault(pre[2], []).append(i)
+            tb = tracker_jax._round_up(max(pre[3].shape[0], 1), 32)
+            by_key.setdefault((pre[2], tb), []).append(i)
         handles = []
-        for params, idxs in by_params.items():
-            batch = [prepped[i] for i in idxs]
-            handles.append(
-                (
-                    idxs,
-                    tracker_jax.track_clips_batch_dispatch(
-                        [b[3] for b in batch],
-                        [b[4] for b in batch],
-                        params,
-                        backgrounds=[b[5] for b in batch],
-                    ),
+        for (params, _tb), idxs in by_key.items():
+            pos = 0
+            while pos < len(idxs):
+                n = len(idxs) - pos
+                size = 1 << (n.bit_length() - 1)  # largest power of two <= n
+                sub = idxs[pos : pos + size]
+                pos += size
+                batch = [prepped[i] for i in sub]
+                handles.append(
+                    (
+                        sub,
+                        tracker_jax.track_clips_batch_dispatch(
+                            [b[3] for b in batch],
+                            [b[4] for b in batch],
+                            params,
+                            backgrounds=[b[5] for b in batch],
+                        ),
+                    )
                 )
-            )
         return (paths, prepped, handles, start)
 
     def collect_batch(self, scan_handle) -> list:
@@ -236,7 +249,10 @@ class ClipTrackExtractor:
             clip_id=clip_id,
         )
         if self.calculate_thumbnails:
-            self._add_thumbnails(meta, thermal, rows, good, th)
+            self._add_thumbnails(
+                meta, thermal, rows, good, th,
+                medians=getattr(carry, "frame_medians", None),
+            )
         tracking_time = time.time() - start
         meta["source"] = str(path)
         meta["tracking_time"] = round(tracking_time, 1)
@@ -255,12 +271,17 @@ class ClipTrackExtractor:
             background=np.asarray(carry.background),
         )
 
-    def _add_thumbnails(self, meta, thermal, rows, tracks, th):
-        """reference trackextractor.get_metadata:205-230 thumbnail wiring."""
+    def _add_thumbnails(self, meta, thermal, rows, tracks, th, medians=None):
+        """reference trackextractor.get_metadata:205-230 thumbnail wiring.
+
+        medians: per-frame medians precomputed on device by the batch scan
+        (tracker_jax._frame_medians_u16); falls back to the host computation
+        for the single-clip path."""
         from classifier_pipeline_tpu.classify import thumbnail
 
         masks = tracker_jax.unpack_mask(rows.mask)
-        medians = thumbnail.frame_medians(thermal) if tracks else None
+        if medians is None:
+            medians = thumbnail.frame_medians(thermal) if tracks else None
         for i, track in enumerate(tracks):
             meta["tracks"][i]["thumbnail"] = thumbnail.thumbnail_metadata(
                 thermal, masks, track, th["background_thresh"], medians=medians

@@ -1034,12 +1034,24 @@ def _pad_clip_batch(thermals, ffcs, params, backgrounds=None, bucket=32):
     return th, ffc_pad, carry0
 
 
+@jax.jit
+def _frame_medians_u16(th_dev):
+    """np.median over each (H, W) frame, batched on device: (B, T, H, W)
+    uint16 -> (B, T) float32. Exact vs np.median (integer inputs: the mean
+    of the two middle uint16 values is representable in float32)."""
+    B, T, H, W = th_dev.shape
+    return jnp.median(
+        th_dev.reshape(B, T, H * W).astype(jnp.float32), axis=-1
+    )
+
+
 def track_clips_batch_dispatch(
     thermals: list,
     ffcs: list,
     params: TrackingParams,
     backgrounds: list | None = None,
     bucket: int = 32,
+    frame_medians: bool = True,
 ):
     """Upload a clip batch and dispatch its scan WITHOUT blocking.
 
@@ -1068,22 +1080,29 @@ def track_clips_batch_dispatch(
     # pack on device now (dispatch only); the blocking device_get happens in
     # collect
     packed = _pack_rows(rows)
-    return (thermals, th_dev, carry, rows, packed)
+    # per-frame medians for thumbnail scoring: batched on device (the host
+    # equivalent is a 19200-element partition per frame, ~0.5s/chunk on the
+    # single-core hosts this runs on), fetched as a tiny (B, T) array
+    medians = _frame_medians_u16(th_dev) if frame_medians else None
+    return (thermals, th_dev, carry, rows, packed, medians)
 
 
 def track_clips_batch_collect(handle):
     """Fetch + split the results of a dispatched batch scan (blocks)."""
-    thermals, th_dev, carry, rows, packed = handle
+    thermals, th_dev, carry, rows, packed, medians = handle
     rows = _unpack_rows(rows, packed)
     # the carry stays on device except the background (its only host
     # consumer); a full device_get costs one tunnel round trip per leaf
     backgrounds_np = np.asarray(carry.background)
+    medians_np = None if medians is None else np.asarray(medians)
     out = []
     for i, thermal in enumerate(thermals):
         t = thermal.shape[0]
         clip_rows = jax.tree.map(lambda a: a[:t, i], rows)
         host_carry = _HostCarry(backgrounds_np[i])
         host_carry.thermal_dev16 = th_dev[i]  # (T, H, W) u16 device slice
+        if medians_np is not None:
+            host_carry.frame_medians = medians_np[i, :t]
         out.append((clip_rows, host_carry))
     return out
 
