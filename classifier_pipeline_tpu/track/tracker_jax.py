@@ -1035,6 +1035,37 @@ def _pad_clip_batch(thermals, ffcs, params, backgrounds=None, bucket=32):
 
 
 @jax.jit
+def _fuse_fetch(arrays):
+    """Serialize a list of device arrays into ONE uint8 buffer.
+
+    The TPU tunnel charges ~0.2-3s of latency PER transfer, so a chunk's
+    results (packed rows, detection masks, frame medians, backgrounds) must
+    ride a single device->host fetch. Non-u8 arrays are bitcast to bytes;
+    the host splits by the (shape, dtype) layout it derives from the device
+    arrays (little-endian on both ends)."""
+    parts = []
+    for a in arrays:
+        if a.dtype != jnp.uint8:
+            a = jax.lax.bitcast_convert_type(a, jnp.uint8)
+        parts.append(a.reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def _split_fused(buf_np: np.ndarray, specs):
+    """Host-side inverse of _fuse_fetch. specs: [(shape, np_dtype), ...]."""
+    out = []
+    off = 0
+    for shape, dtype in specs:
+        dtype = np.dtype(dtype)
+        n = int(np.prod(shape)) * dtype.itemsize
+        out.append(
+            np.frombuffer(buf_np.data, dtype, int(np.prod(shape)), off).reshape(shape)
+        )
+        off += n
+    return out
+
+
+@jax.jit
 def _frame_medians_u16(th_dev):
     """np.median over each (H, W) frame, batched on device: (B, T, H, W)
     uint16 -> (B, T) float32. Exact vs np.median (integer inputs: the mean
@@ -1077,24 +1108,34 @@ def track_clips_batch_dispatch(
     else:
         th_dev = jnp.asarray(th)  # keep: classification reuses it on device
     carry, rows = _track_scan_batch(params, carry0, th_dev, ffc_pad)
-    # pack on device now (dispatch only); the blocking device_get happens in
+    # pack on device now (dispatch only); the blocking fetch happens in
     # collect
     packed = _pack_rows(rows)
     # per-frame medians for thumbnail scoring: batched on device (the host
     # equivalent is a 19200-element partition per frame, ~0.5s/chunk on the
-    # single-core hosts this runs on), fetched as a tiny (B, T) array
+    # single-core hosts this runs on)
     medians = _frame_medians_u16(th_dev) if frame_medians else None
-    return (thermals, th_dev, carry, rows, packed, medians)
+    # everything host code reads from this chunk rides ONE device->host
+    # transfer (the tunnel charges high latency per transfer)
+    fetch_list = list(packed) + [rows.mask, carry.background]
+    if medians is not None:
+        fetch_list.append(medians)
+    fused = _fuse_fetch(fetch_list)
+    specs = [(a.shape, np.dtype(str(a.dtype))) for a in fetch_list]
+    return (thermals, th_dev, carry, rows, fused, specs, frame_medians)
 
 
 def track_clips_batch_collect(handle):
-    """Fetch + split the results of a dispatched batch scan (blocks)."""
-    thermals, th_dev, carry, rows, packed, medians = handle
-    rows = _unpack_rows(rows, packed)
-    # the carry stays on device except the background (its only host
-    # consumer); a full device_get costs one tunnel round trip per leaf
-    backgrounds_np = np.asarray(carry.background)
-    medians_np = None if medians is None else np.asarray(medians)
+    """Fetch + split the results of a dispatched batch scan (blocks on one
+    fused transfer)."""
+    thermals, th_dev, carry, rows, fused, specs, has_medians = handle
+    buf = np.asarray(fused)  # the single blocking transfer
+    parts = _split_fused(buf, specs)
+    packed_np = parts[:5]
+    mask_np = parts[5]
+    backgrounds_np = parts[6]
+    medians_np = parts[7] if has_medians else None
+    rows = _rows_from_packed(rows, packed_np, mask_np)
     out = []
     for i, thermal in enumerate(thermals):
         t = thermal.shape[0]
@@ -1192,8 +1233,11 @@ def fetch_rows(rows: FrameRows) -> FrameRows:
 
 
 def _unpack_rows(rows: FrameRows, packed) -> FrameRows:
-    slot_u16, slot_f32, reg_u16, reg_f32, scalars = jax.device_get(packed)
-    mask = np.asarray(rows.mask)
+    return _rows_from_packed(rows, jax.device_get(packed), np.asarray(rows.mask))
+
+
+def _rows_from_packed(rows: FrameRows, packed_np, mask) -> FrameRows:
+    slot_u16, slot_f32, reg_u16, reg_f32, scalars = packed_np
     i32 = lambda a: a.astype(np.int32)
     flags = slot_u16[..., 0]
     return FrameRows(
