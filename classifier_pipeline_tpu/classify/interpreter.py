@@ -101,6 +101,53 @@ def _next_bucket(n, minimum=1):
     return b
 
 
+def _fuse_host(arrays):
+    """Serialize host job arrays into ONE uint8 buffer + a static layout.
+
+    The remote-TPU tunnel charges latency per transfer, so the ~8 small
+    per-track tensors of a classify batch ride a single upload; the device
+    side splits them back inside the fused jit (_device_split)."""
+    parts, specs = [], []
+    for a in arrays:
+        a = np.ascontiguousarray(a)
+        if a.dtype == np.bool_:
+            specs.append((a.shape, "bool"))
+            parts.append(a.view(np.uint8).reshape(-1))
+        elif a.dtype == np.uint8:
+            specs.append((a.shape, "uint8"))
+            parts.append(a.reshape(-1))
+        else:
+            assert a.dtype.itemsize == 4, a.dtype
+            specs.append((a.shape, str(a.dtype)))
+            parts.append(a.view(np.uint8).reshape(-1))
+    return np.concatenate(parts), tuple(specs)
+
+
+def _device_split(buf, specs):
+    """In-jit inverse of _fuse_host (little-endian bitcasts, like numpy
+    .view on the host side)."""
+    out = []
+    off = 0
+    for shape, dt in specs:
+        size = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        if dt in ("int32", "float32"):
+            n = size * 4
+            seg = buf[off : off + n].reshape(tuple(shape) + (4,))
+            out.append(
+                jax.lax.bitcast_convert_type(
+                    seg, jnp.int32 if dt == "int32" else jnp.float32
+                )
+            )
+        elif dt == "bool":
+            n = size
+            out.append(buf[off : off + n].reshape(shape) != 0)
+        else:
+            n = size
+            out.append(buf[off : off + n].reshape(shape))
+        off += n
+    return out
+
+
 class ClipContext:
     """Device-side clip state needed for classification: thermal + the
     tracking-time filtered frames + per-frame medians + ffc list.
@@ -110,19 +157,34 @@ class ClipContext:
     frame numbers)."""
 
     def __init__(self, thermal: np.ndarray, filtered: np.ndarray, ffc_frames,
-                 frame_numbers=None):
+                 frame_numbers=None, medians=None, device_group=None,
+                 lane=-1):
         self._thermal_np = np.asarray(thermal)
         self._thermal_dev = None  # lazy: the batch path never uploads it
         self._filtered_src = filtered
         self._filtered_dev = None
-        self._medians_np = np.median(thermal, axis=(1, 2))
-        self.medians = jnp.asarray(self._medians_np.astype(np.float32))
+        # per-frame medians: reuse the batch scan's device-computed copy when
+        # given (host np.median costs ~0.25ms/frame on the single-core hosts)
+        if medians is not None:
+            self._medians_np = np.asarray(medians, np.float32)
+        else:
+            self._medians_np = np.median(thermal, axis=(1, 2))
+        self._medians_dev = None  # lazy: one upload per clip otherwise
+        # batch path: the scan group's device arrays + this clip's lane
+        self.device_group = device_group
+        self.lane = lane
         self.ffc_frames = list(ffc_frames)
         self.background = None
         if frame_numbers is None:
             self._index = None
         else:
             self._index = {int(fn): i for i, fn in enumerate(frame_numbers)}
+
+    @property
+    def medians(self):
+        if self._medians_dev is None:
+            self._medians_dev = jnp.asarray(self._medians_np.astype(np.float32))
+        return self._medians_dev
 
     @property
     def thermal(self):
@@ -135,9 +197,11 @@ class ClipContext:
     @property
     def filtered(self):
         if self._filtered_dev is None:
-            self._filtered_dev = jnp.asarray(self._filtered_src).astype(
-                jnp.float32
-            )
+            src = self._filtered_src
+            if self.device_group is not None and getattr(src, "ndim", 0) == 4:
+                # group layout (T, B, H, W): slice this clip's lane lazily
+                src = src[: self._thermal_np.shape[0], self.lane]
+            self._filtered_dev = jnp.asarray(src).astype(jnp.float32)
         return self._filtered_dev
 
     def index_of(self, frame_number: int) -> int:
@@ -284,6 +348,41 @@ class FlaxInterpreter:
             )
 
         self._fused_classify_all = fused_all
+
+        # grouped variant: consumes a scan group's device-resident arrays
+        # DIRECTLY (no host-side stack/pad/slice ops — under a remote-TPU
+        # tunnel every op dispatch costs latency) and a single fused uint8
+        # upload of all per-track job tensors.
+        @functools.partial(jax.jit, static_argnames=("specs", "diff_norm"))
+        def fused_grouped(variables, thermal_g_u16, filtered_g, medians_g,
+                          jobs_buf, specs, diff_norm):
+            reg_arr, valid, tr, tv, seg_idx, features, caz, lane = (
+                _device_split(jobs_buf, specs)
+            )
+            thermal_all = thermal_g_u16.astype(jnp.float32)
+
+            def one(ci, ra, va, trk, tvk, si, feat, cazk):
+                th = thermal_all[ci]
+                fi = filtered_g[:, ci]
+                md = medians_g[ci]
+                if diff_norm:
+                    limits = preprocess_jax.filtered_limits_for_track(
+                        fi, trk, tvk
+                    )
+                else:
+                    limits = jnp.asarray([jnp.nan, jnp.nan], jnp.float32)
+                frames = preprocess_jax.preprocess_track_frames(
+                    th, fi, ra, va, md, limits, frame_size=fs,
+                    clip_at_zero=cazk,
+                )
+                tiles = preprocess_jax.tile_segments(frames.tiles, si, sw)
+                return _forward(variables, tiles, feat)
+
+            return jax.vmap(one)(
+                lane, reg_arr, valid, tr, tv, seg_idx, features, caz
+            )
+
+        self._fused_classify_grouped = fused_grouped
 
     def _init_variables(self):
         size = self.params.frame_size * self.params.square_width
@@ -575,11 +674,78 @@ def classify_clip_batch_dispatch(interpreter, ctxs, track_lists, min_segments=1)
             jobs.append((ci, track, segments, tensors))
     results = [dict() for _ in ctxs]
     if not jobs:
-        return (interpreter, jobs, None, results, 0.0)
-    N = len(jobs)
-    Fb = max(j[3][0].shape[0] for j in jobs)
-    Tb = max(j[3][2].shape[0] for j in jobs)
-    Sb = max(j[3][4].shape[0] for j in jobs)
+        return (interpreter, [], results, 0.0)
+    start = time.time()
+    grouped = all(
+        getattr(c, "device_group", None) is not None
+        and c.device_group.medians is not None
+        for c in ctxs
+    )
+    batches = []
+    if grouped:
+        # one fused device call per scan group: the group's device-resident
+        # thermal/filtered/medians are consumed whole (no host-side stack or
+        # per-clip slicing) and all job tensors ride one fused upload
+        by_group = {}
+        for job in jobs:
+            g = ctxs[job[0]].device_group
+            by_group.setdefault(id(g), (g, []))[1].append(job)
+        for g, gjobs in by_group.values():
+            arrays = _pack_jobs(
+                interpreter, ctxs, gjobs, lambda ci: ctxs[ci].lane
+            )
+            buf, specs = _fuse_host(arrays)
+            out = interpreter._fused_classify_grouped(
+                interpreter.variables, g.thermal, g.filtered, g.medians,
+                jnp.asarray(buf), specs=specs,
+                diff_norm=bool(interpreter.params.diff_norm),
+            )
+            batches.append((gjobs, out))
+    else:
+        # fallback: stack per-clip tensors to a common shape
+        arrays = _pack_jobs(interpreter, ctxs, jobs, lambda ci: ci)
+        reg_arr, valid, tr, tv, seg_idx, features, caz, clip_idx = arrays
+        B = len(ctxs)
+        H, W = ctxs[0]._thermal_np.shape[1:]
+        T = max(int(c._thermal_np.shape[0]) for c in ctxs)
+        thermal_all = np.zeros((B, T, H, W), np.uint16)
+        for ci, ctx in enumerate(ctxs):
+            t = int(ctx._thermal_np.shape[0])
+            thermal_all[ci, :t] = np.asarray(ctx._thermal_np, np.uint16)
+        medians_all = np.zeros((B, T), np.float32)
+        fil = []
+        for ci, ctx in enumerate(ctxs):
+            t = int(ctx._thermal_np.shape[0])
+            medians_all[ci, :t] = ctx._medians_np
+            f = ctx.filtered
+            if f.shape[0] < T:
+                f = jnp.concatenate(
+                    [f, jnp.zeros((T - f.shape[0], H, W), jnp.float32)],
+                    axis=0,
+                )
+            fil.append(f)
+        filtered_all = jnp.stack(fil, axis=1)  # (T, B, H, W)
+        out = interpreter._fused_classify_all(
+            interpreter.variables, jnp.asarray(thermal_all), filtered_all,
+            jnp.asarray(medians_all), jnp.asarray(clip_idx),
+            jnp.asarray(reg_arr), jnp.asarray(valid), jnp.asarray(tr),
+            jnp.asarray(tv), jnp.asarray(seg_idx), jnp.asarray(features),
+            jnp.asarray(caz),
+            diff_norm=bool(interpreter.params.diff_norm),
+        )
+        batches.append((jobs, out))
+    return (interpreter, batches, results, start)
+
+
+def _pack_jobs(interpreter, ctxs, jobs, lane_of):
+    """Pack per-track job tensors into padded host arrays. Every dimension
+    is bucketed to a power of two so the set of compiled shapes stays small
+    across batches; padded job rows are all-invalid and their outputs are
+    never read."""
+    N = _next_bucket(len(jobs))
+    Fb = _next_bucket(max(j[3][0].shape[0] for j in jobs))
+    Tb = _next_bucket(max(j[3][2].shape[0] for j in jobs))
+    Sb = _next_bucket(max(j[3][4].shape[0] for j in jobs))
     sw2 = interpreter.params.square_width ** 2
     reg_arr = np.zeros((N, Fb, 5), np.int32)
     valid = np.zeros((N, Fb), bool)
@@ -587,7 +753,7 @@ def classify_clip_batch_dispatch(interpreter, ctxs, track_lists, min_segments=1)
     tv = np.zeros((N, Tb), bool)
     seg_idx = np.zeros((N, Sb, sw2), np.int32)
     caz = np.zeros((N,), bool)
-    clip_idx = np.zeros((N,), np.int32)
+    lane = np.zeros((N,), np.int32)
     feat_dim = 1
     if interpreter.params.mvm:
         from classifier_pipeline_tpu.models.forest import MVM_FEATURE_DIM
@@ -602,77 +768,32 @@ def classify_clip_batch_dispatch(interpreter, ctxs, track_lists, min_segments=1)
         tv[i, : tva.shape[0]] = tva
         seg_idx[i, : si.shape[0]] = si
         caz[i] = clip_at_zero
-        clip_idx[i] = ci
+        lane[i] = lane_of(ci)
         if interpreter.params.mvm:
             features[i] = interpreter._track_features(ctxs[ci], track)
-    # stack clip tensors: thermal (B,T,H,W); filtered to (T,B,H,W)
-    B = len(ctxs)
-    H, W = ctxs[0]._thermal_np.shape[1:]
-    dev_thermals = [getattr(c, "thermal_dev16", None) for c in ctxs]
-    if all(d is not None for d in dev_thermals):
-        # reuse the tracking scan's device-resident upload. Scan groups pad
-        # to per-length-bucket T, so pad each slice (device-side, cheap) to
-        # the chunk max before stacking; padded frames are never indexed by
-        # any segment.
-        T = max(int(d.shape[0]) for d in dev_thermals)
-        dev_thermals = [
-            d
-            if int(d.shape[0]) == T
-            else jnp.concatenate(
-                [d, jnp.zeros((T - int(d.shape[0]), H, W), d.dtype)], axis=0
-            )
-            for d in dev_thermals
-        ]
-        thermal_all = jnp.stack(dev_thermals)
-    else:
-        T = max(int(c._thermal_np.shape[0]) for c in ctxs)
-        thermal_all = np.zeros((B, T, H, W), np.uint16)
-        for ci, ctx in enumerate(ctxs):
-            t = int(ctx._thermal_np.shape[0])
-            thermal_all[ci, :t] = np.asarray(ctx._thermal_np, np.uint16)
-    medians_all = np.zeros((B, T), np.float32)
-    fil = []
-    for ci, ctx in enumerate(ctxs):
-        t = int(ctx._thermal_np.shape[0])
-        medians_all[ci, :t] = ctx._medians_np
-        f = ctx.filtered
-        if f.shape[0] < T:
-            f = jnp.concatenate(
-                [f, jnp.zeros((T - f.shape[0], H, W), jnp.float32)], axis=0
-            )
-        fil.append(f)
-    filtered_all = jnp.stack(fil, axis=1)  # (T, B, H, W)
-    start = time.time()
-    out = interpreter._fused_classify_all(
-        interpreter.variables, jnp.asarray(thermal_all), filtered_all,
-        jnp.asarray(medians_all), jnp.asarray(clip_idx),
-        jnp.asarray(reg_arr), jnp.asarray(valid), jnp.asarray(tr),
-        jnp.asarray(tv), jnp.asarray(seg_idx), jnp.asarray(features),
-        jnp.asarray(caz),
-        diff_norm=bool(interpreter.params.diff_norm),
-    )
-    return (interpreter, jobs, out, results, start)
+    return reg_arr, valid, tr, tv, seg_idx, features, caz, lane
 
 
 def classify_clip_batch_collect(handle):
     """Fetch predictions of a dispatched classify batch and assemble
-    TrackPredictions (blocks on the device result)."""
-    interpreter, jobs, out, results, start = handle
-    if out is None:
+    TrackPredictions (blocks on the device results)."""
+    interpreter, batches, results, start = handle
+    if not batches:
         return results
-    out = np.asarray(out)
+    outs = [np.asarray(out) for _, out in batches]
     elapsed = time.time() - start
-    N = len(jobs)
-    for i, (ci, track, segments, tensors) in enumerate(jobs):
-        S = tensors[6]
-        output = out[i, :S]
-        frames = [list(s.frame_indices) for s in segments]
-        masses = [s.mass for s in segments]
-        tp = interpreter.track_prediction_from_raw(
-            track.track_id, frames, output, masses
-        )
-        tp.classify_time = elapsed / N
-        results[ci][track.track_id] = tp
+    total = sum(len(gjobs) for gjobs, _ in batches)
+    for (gjobs, _), out in zip(batches, outs):
+        for i, (ci, track, segments, tensors) in enumerate(gjobs):
+            S = tensors[6]
+            output = out[i, :S]
+            frames = [list(s.frame_indices) for s in segments]
+            masses = [s.mass for s in segments]
+            tp = interpreter.track_prediction_from_raw(
+                track.track_id, frames, output, masses
+            )
+            tp.classify_time = elapsed / total
+            results[ci][track.track_id] = tp
     return results
 
 

@@ -69,7 +69,7 @@ def process_one(args):
 
             from classifier_pipeline_tpu.track import tracker_jax
 
-            extra["filtered"] = _np.asarray(res.rows.filtered)
+            extra["filtered"] = res.filtered_np()
             extra["masks"] = tracker_jax.unpack_mask(res.rows.mask)
         Previewer(preview_type=preview).export_clip_preview(
             mp4, thermal, res.tracks, **extra

@@ -185,10 +185,13 @@ class ClipClassifier:
             ctxs = []
             for res in results:
                 thermal = res.clip.pixels[~res.clip.is_background]
+                # reuse the scan's device-resident group arrays + medians
                 ctx = ClipContext(
-                    thermal, res.rows.filtered, self._ffc_frames(res)
+                    thermal, res.rows.filtered, self._ffc_frames(res),
+                    medians=res.frame_medians,
+                    device_group=res.device_group, lane=res.lane,
                 )
-                ctx.thermal_dev16 = res.thermal_dev16  # reuse the scan upload
+                ctx.thermal_dev16 = res.thermal_dev16
                 ctxs.append(ctx)
             all_preds = {}
             for model in self.models:

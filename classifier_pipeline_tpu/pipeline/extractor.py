@@ -78,7 +78,17 @@ class ExtractResult:
     rows: object = None  # stacked FrameRows (for classification reuse)
     clip: object = None  # CptvClip
     background: np.ndarray | None = None
-    thermal_dev16: object = None  # (T, H, W) u16 device array (batch path)
+    thermal_dev16: object = None  # (T, H, W) u16 device array (sharded path)
+    device_group: object = None  # tracker_jax.DeviceGroup (batch path)
+    lane: int = -1  # this clip's lane within device_group
+    frame_medians: np.ndarray | None = None  # per-frame medians (host copy)
+
+    def filtered_np(self) -> np.ndarray:
+        """Host copy of this clip's filtered frames (debug/preview use)."""
+        fil = np.asarray(self.rows.filtered)
+        if self.device_group is not None and fil.ndim == 4:
+            return fil[: self.n_frames, self.lane]
+        return fil
 
 
 class ClipTrackExtractor:
@@ -211,8 +221,11 @@ class ClipTrackExtractor:
                     Path(paths[i]), clip, camera_model, params_i, thermal,
                     rows, carry, start, clip_id=clip_id,
                 )
-                # device-resident thermal for downstream classification
+                # device-resident group arrays for downstream classification
+                results[i].device_group = getattr(carry, "device_group", None)
+                results[i].lane = getattr(carry, "lane", -1)
                 results[i].thermal_dev16 = getattr(carry, "thermal_dev16", None)
+                results[i].frame_medians = getattr(carry, "frame_medians", None)
         return results
 
     def extract_batch(self, paths, process_background=False) -> list:

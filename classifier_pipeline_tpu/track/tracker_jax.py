@@ -1122,26 +1122,47 @@ def track_clips_batch_dispatch(
         fetch_list.append(medians)
     fused = _fuse_fetch(fetch_list)
     specs = [(a.shape, np.dtype(str(a.dtype))) for a in fetch_list]
-    return (thermals, th_dev, carry, rows, fused, specs, frame_medians)
+    return (thermals, th_dev, carry, rows, fused, specs, medians)
+
+
+class DeviceGroup:
+    """The scan group's device-resident arrays, shared by every clip in the
+    group. Downstream (classification) consumes these WHOLE — slicing a
+    per-clip view on the host would launch one device op per clip, and under
+    a remote-TPU tunnel each op dispatch costs real latency."""
+
+    def __init__(self, thermal, filtered, medians):
+        self.thermal = thermal  # (B, T, H, W) uint16
+        self.filtered = filtered  # (T, B, H, W) float32 (scan-native layout)
+        self.medians = medians  # (B, T) float32 or None
 
 
 def track_clips_batch_collect(handle):
     """Fetch + split the results of a dispatched batch scan (blocks on one
     fused transfer)."""
-    thermals, th_dev, carry, rows, fused, specs, has_medians = handle
+    thermals, th_dev, carry, rows, fused, specs, medians_dev = handle
     buf = np.asarray(fused)  # the single blocking transfer
     parts = _split_fused(buf, specs)
     packed_np = parts[:5]
     mask_np = parts[5]
     backgrounds_np = parts[6]
-    medians_np = parts[7] if has_medians else None
+    medians_np = parts[7] if medians_dev is not None else None
     rows = _rows_from_packed(rows, packed_np, mask_np)
+    group = DeviceGroup(th_dev, rows.filtered, medians_dev)
     out = []
     for i, thermal in enumerate(thermals):
         t = thermal.shape[0]
-        clip_rows = jax.tree.map(lambda a: a[:t, i], rows)
+        # slice host arrays only; the device-resident filtered stays whole
+        clip_rows = FrameRows(
+            **{
+                k: (v if k == "filtered" else v[:t, i])
+                for k, v in rows._asdict().items()
+            }
+        )
         host_carry = _HostCarry(backgrounds_np[i])
-        host_carry.thermal_dev16 = th_dev[i]  # (T, H, W) u16 device slice
+        host_carry.device_group = group
+        host_carry.lane = i
+        host_carry.n_frames = t
         if medians_np is not None:
             host_carry.frame_medians = medians_np[i, :t]
         out.append((clip_rows, host_carry))

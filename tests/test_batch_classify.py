@@ -1,0 +1,69 @@
+"""Batch classification parity: the grouped process_batch path (device-group
+arrays + fused job upload) must produce the same predictions as the
+single-clip process_file path (reference semantics: classification is
+per-track and independent of batching)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+CLIPS = Path("/root/reference/tests/clips")
+
+IGNORED = {"predicted_time", "classify_time"}
+
+
+@pytest.fixture(scope="module")
+def classifier(tmp_path_factory):
+    from classifier_pipeline_tpu.config.config import Config, ModelConfig
+    from classifier_pipeline_tpu.models.artifacts import create_model
+    from classifier_pipeline_tpu.pipeline.clipclassifier import ClipClassifier
+
+    prefix = tmp_path_factory.mktemp("model") / "m"
+    create_model(prefix, model_name="simple-cnn")
+    model = ModelConfig(id=1, name="t", model_file=str(prefix) + ".json")
+    return ClipClassifier(Config({}), model=model, seed=42)
+
+
+def _strip_times(obj):
+    if isinstance(obj, dict):
+        return {k: _strip_times(v) for k, v in obj.items() if k not in IGNORED}
+    if isinstance(obj, list):
+        return [_strip_times(v) for v in obj]
+    return obj
+
+
+def test_process_batch_matches_process_file(classifier):
+    # segment sampling reproduces the reference's module-level np.random
+    # quirk (order-dependent draws in the long-track branch), so pin the
+    # global RNG state before each pipeline call and compare per clip
+    for path in (CLIPS / "possum.cptv", CLIPS / "hedgehog.cptv"):
+        np.random.seed(7)
+        meta = classifier.process_batch([path], chunks=1)[0]
+        np.random.seed(7)
+        single = classifier.process_file(path)
+        assert len(meta["tracks"]) == len(single["tracks"])
+        for tb, ts in zip(meta["tracks"], single["tracks"]):
+            assert tb["id"] == ts["id"]
+            assert _strip_times(tb["predictions"]) == _strip_times(
+                ts["predictions"]
+            )
+
+
+def test_process_batch_chunked_matches_unchunked(classifier):
+    paths = [
+        CLIPS / "possum.cptv",
+        CLIPS / "hedgehog.cptv",
+        CLIPS / "hedgehog.cptv",
+        CLIPS / "possum.cptv",
+    ]
+    np.random.seed(7)
+    one = classifier.process_batch(paths, chunks=1)
+    np.random.seed(7)
+    two = classifier.process_batch(paths, chunks=2)
+    for a, b in zip(one, two):
+        assert [t["id"] for t in a["tracks"]] == [t["id"] for t in b["tracks"]]
+        for ta, tb in zip(a["tracks"], b["tracks"]):
+            assert _strip_times(ta["predictions"]) == _strip_times(
+                tb["predictions"]
+            )
