@@ -26,6 +26,7 @@ import numpy as np
 from classifier_pipeline_tpu.classify import preprocess_jax
 from classifier_pipeline_tpu.classify.trackprediction import TrackPrediction
 from classifier_pipeline_tpu.data.segments import SegmentType, get_segments
+from classifier_pipeline_tpu.track import tracker_jax
 from classifier_pipeline_tpu.models.registry import build_classifier
 
 
@@ -700,7 +701,7 @@ def classify_clip_batch_dispatch(interpreter, ctxs, track_lists, min_segments=1)
                 jnp.asarray(buf), specs=specs,
                 diff_norm=bool(interpreter.params.diff_norm),
             )
-            batches.append((gjobs, out))
+            batches.append((gjobs, tracker_jax.fetch_async(out)))
     else:
         # fallback: stack per-clip tensors to a common shape
         arrays = _pack_jobs(interpreter, ctxs, jobs, lambda ci: ci)
@@ -733,7 +734,7 @@ def classify_clip_batch_dispatch(interpreter, ctxs, track_lists, min_segments=1)
             jnp.asarray(caz),
             diff_norm=bool(interpreter.params.diff_norm),
         )
-        batches.append((jobs, out))
+        batches.append((jobs, tracker_jax.fetch_async(out)))
     return (interpreter, batches, results, start)
 
 
@@ -780,7 +781,7 @@ def classify_clip_batch_collect(handle):
     interpreter, batches, results, start = handle
     if not batches:
         return results
-    outs = [np.asarray(out) for _, out in batches]
+    outs = [fut.result() for _, fut in batches]
     elapsed = time.time() - start
     total = sum(len(gjobs) for gjobs, _ in batches)
     for (gjobs, _), out in zip(batches, outs):

@@ -1034,6 +1034,20 @@ def _pad_clip_batch(thermals, ffcs, params, backgrounds=None, bucket=32):
     return th, ffc_pad, carry0
 
 
+import concurrent.futures
+
+# background fetch pool: device->host transfers block on device completion
+# and then stream over the tunnel; doing them on worker threads (numpy
+# fetches release the GIL) overlaps that wait with host-side assembly of
+# other chunks. 2 workers: one scan fetch + one classify fetch in flight.
+_FETCH_POOL = concurrent.futures.ThreadPoolExecutor(max_workers=2)
+
+
+def fetch_async(dev_array):
+    """Start a background device->host fetch; returns a Future of np.ndarray."""
+    return _FETCH_POOL.submit(np.asarray, dev_array)
+
+
 @jax.jit
 def _fuse_fetch(arrays):
     """Serialize a list of device arrays into ONE uint8 buffer.
@@ -1122,7 +1136,8 @@ def track_clips_batch_dispatch(
         fetch_list.append(medians)
     fused = _fuse_fetch(fetch_list)
     specs = [(a.shape, np.dtype(str(a.dtype))) for a in fetch_list]
-    return (thermals, th_dev, carry, rows, fused, specs, medians)
+    fused_future = fetch_async(fused)
+    return (thermals, th_dev, carry, rows, fused_future, specs, medians)
 
 
 class DeviceGroup:
@@ -1140,8 +1155,8 @@ class DeviceGroup:
 def track_clips_batch_collect(handle):
     """Fetch + split the results of a dispatched batch scan (blocks on one
     fused transfer)."""
-    thermals, th_dev, carry, rows, fused, specs, medians_dev = handle
-    buf = np.asarray(fused)  # the single blocking transfer
+    thermals, th_dev, carry, rows, fused_future, specs, medians_dev = handle
+    buf = fused_future.result()  # the single (prefetched) transfer
     parts = _split_fused(buf, specs)
     packed_np = parts[:5]
     mask_np = parts[5]
