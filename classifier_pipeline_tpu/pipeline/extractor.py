@@ -187,12 +187,18 @@ class ClipTrackExtractor:
         for i, pre in enumerate(prepped):
             tb = tracker_jax._round_up(max(pre[3].shape[0], 1), 32)
             by_key.setdefault((pre[2], tb), []).append(i)
+        # subgroup cap: one scan program's NL-means pallas kernel packs clip
+        # pairs into VMEM-resident lane tiles; past 32 clips the compiler's
+        # scoped-VMEM budget overflows (measured on v5e), and smaller
+        # programs pipeline better anyway
+        max_sub = 32
         handles = []
         for (params, _tb), idxs in by_key.items():
             pos = 0
             while pos < len(idxs):
                 n = len(idxs) - pos
                 size = 1 << (n.bit_length() - 1)  # largest power of two <= n
+                size = min(size, max_sub)
                 sub = idxs[pos : pos + size]
                 pos += size
                 batch = [prepped[i] for i in sub]
