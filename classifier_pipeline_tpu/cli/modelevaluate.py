@@ -47,6 +47,156 @@ def best_threshold(scores, positives, steps=100):
     return best_t, best_score
 
 
+def model_score(cm, labels):
+    """Single comparison number for a model (reference modelevaluate.py
+    model_score:67-125): per-label accuracy weighted by label importance,
+    penalizing bird confusion with other animals."""
+    labels = list(labels)
+    if "None" not in labels:
+        labels = labels + ["None"]
+    n = len(labels)
+    cm = np.asarray(cm, np.float64)
+    if cm.shape[0] < n:
+        cm = np.pad(cm, ((0, n - cm.shape[0]), (0, n - cm.shape[1])))
+    row_sums = cm.sum(axis=1, keepdims=True)
+    norm = np.around(np.divide(cm, row_sums, where=row_sums > 0), 2)
+    norm = np.nan_to_num(norm)
+    fp_i = labels.index("false-positive") if "false-positive" in labels else None
+    none_i = labels.index("None") if "None" in labels else None
+    unid_i = labels.index("unidentified") if "unidentified" in labels else None
+    total, counted = 0.0, 0
+    for li, label in enumerate(labels):
+        acc = norm[li, li]
+        fp_acc = norm[li, fp_i] if fp_i is not None else 0
+        none_acc = norm[li, none_i] if none_i else 0
+        unid_acc = norm[li, unid_i] if unid_i else 0
+        other = 1 - (fp_acc + none_acc + unid_acc + acc)
+        if norm[li].sum() == 0:
+            other = 0
+        if label == "bird":
+            score = acc * 1.2 - other
+        elif label in ("vehicle", "wallaby"):
+            score = acc * 0.8
+        elif label in ("mustelid", "human"):
+            score = acc * 0.9
+        elif label in ("None", "unidentified"):
+            continue
+        else:
+            score = acc
+        total += score
+        counted += 1
+    return round(total / counted, 3) if counted else 0.0
+
+
+# metadata tag normalization (reference modelevaluate.py:318-321, 405-406)
+_REMAP = {"rat": "rodent", "mouse": "rodent", "bird/kiwi": "kiwi",
+          "land-bird": "bird"}
+
+
+def _human_tag(track_meta):
+    tags = track_meta.get("tags", [])
+    human = {t.get("what") for t in tags if t.get("automatic") is False}
+    if len(human) != 1:
+        return None
+    tag = human.pop()
+    return _REMAP.get(tag, tag)
+
+
+def _master_ai_tag(track_meta):
+    for t in track_meta.get("tags", []):
+        if t.get("automatic") is not True:
+            continue
+        data = t.get("model", t.get("data", {}))
+        if (isinstance(data, str) and data == "Master") or (
+            isinstance(data, dict) and data.get("name", "Master") == "Master"
+        ):
+            return _REMAP.get(t["what"], t["what"])
+    return None
+
+
+def _tally(y_true, y_pred):
+    labels = sorted({*y_true, *y_pred} - {"None"}) + ["None"]
+    idx = {l: i for i, l in enumerate(labels)}
+    cm = confusion_matrix(
+        [idx[t] for t in y_true], [idx[p] for p in y_pred], len(labels)
+    )
+    acc = (
+        float(np.mean(np.array(y_true) == np.array(y_pred))) if y_true else 0.0
+    )
+    return cm, acc, labels
+
+
+def metadata_confusion(dir_path):
+    """Track-level confusion from already-classified sidecar metadata
+    (reference metadata_confusion:270-430): human tag vs the master model's
+    automatic tag, with rodent/kiwi/land-bird remapping."""
+    y_true, y_pred = [], []
+    for meta_f in sorted(Path(dir_path).glob("**/*.txt")):
+        try:
+            meta = json.loads(meta_f.read_text())
+        except (json.JSONDecodeError, OSError):
+            logging.error("couldn't load %s", meta_f)
+            continue
+        tracks = meta.get("Tracks") or meta.get("tracks") or []
+        for track in tracks:
+            human = _human_tag(track)
+            if human is None:
+                continue
+            y_true.append(human)
+            # our classify output: predictions list; reference uploads: tags
+            preds = track.get("predictions")
+            if preds:
+                tag = preds[0].get("tag")
+                y_pred.append(_REMAP.get(tag, tag) if tag else "None")
+            else:
+                y_pred.append(_master_ai_tag(track) or "None")
+    return _tally(y_true, y_pred)
+
+
+def evaluate_dir(model_file, dir_path, threshold=0.5):
+    """Re-classify every CPTV under dir_path with THIS framework (batched
+    device pipeline) and compare against the sidecars' human tags
+    (reference evaluate_dir:592-847, Pool-of-8 → one vmapped device batch)."""
+    from classifier_pipeline_tpu.config.config import Config, ModelConfig
+    from classifier_pipeline_tpu.pipeline.clipclassifier import ClipClassifier
+
+    dir_path = Path(dir_path)
+    files = []
+    truths = []
+    for cptv in sorted(dir_path.glob("**/*.cptv")):
+        meta_f = cptv.with_suffix(".txt")
+        if not meta_f.exists():
+            continue
+        try:
+            meta = json.loads(meta_f.read_text())
+        except (json.JSONDecodeError, OSError):
+            continue
+        tracks = meta.get("Tracks") or meta.get("tracks") or []
+        tags = [_human_tag(t) for t in tracks]
+        if any(t is not None for t in tags):
+            files.append(cptv)
+            truths.append(tags)
+    if not files:
+        raise SystemExit(f"no human-tagged CPTV files under {dir_path}")
+    model = ModelConfig(id=1, name="eval", model_file=str(model_file))
+    classifier = ClipClassifier(Config({}), model=model)
+    metas = classifier.process_batch(files)
+    y_true, y_pred = [], []
+    for meta, tags in zip(metas, truths):
+        by_pos = {i: t for i, t in enumerate(tags) if t is not None}
+        for i, track in enumerate(meta["tracks"]):
+            if i not in by_pos:
+                continue
+            y_true.append(by_pos[i])
+            preds = track.get("predictions") or []
+            if preds and preds[0].get("confidence", 0) >= threshold:
+                tag = preds[0].get("tag") or "None"
+            else:
+                tag = "None"
+            y_pred.append(_REMAP.get(tag, tag))
+    return _tally(y_true, y_pred)
+
+
 def evaluate_records(model_file, data_dir, split="test", batch_size=32):
     from classifier_pipeline_tpu.classify.interpreter import FlaxInterpreter
     from classifier_pipeline_tpu.data.loader import (
@@ -101,10 +251,19 @@ def evaluate_records(model_file, data_dir, split="test", batch_size=32):
 
 def main(argv=None):
     parser = argparse.ArgumentParser(description="evaluate a trained model")
-    parser.add_argument("-m", "--model-file", required=True)
+    parser.add_argument("-m", "--model-file")
     parser.add_argument("-d", "--data-dir", default="training-data")
     parser.add_argument("--split", default="test")
     parser.add_argument("--write-thresholds", help="update model json with thresholds")
+    parser.add_argument(
+        "--metadata-dir",
+        help="track-level confusion from existing classified sidecars",
+    )
+    parser.add_argument(
+        "--evaluate-dir",
+        help="re-classify CPTV files under this dir and score vs human tags",
+    )
+    parser.add_argument("--threshold", type=float, default=0.5)
     parser.add_argument("--platform", choices=["tpu", "cpu", "default"], default="default")
     args = parser.parse_args(argv)
     if args.platform == "cpu":
@@ -114,11 +273,30 @@ def main(argv=None):
     from classifier_pipeline_tpu.utils.logs import init_logging
 
     init_logging()
+    if args.metadata_dir:
+        cm, acc, labels = metadata_confusion(args.metadata_dir)
+        print_confusion(cm, labels)
+        print(f"track accuracy: {acc:.4f}")
+        print(f"model score: {model_score(cm, labels)}")
+        return 0
+    if args.evaluate_dir:
+        if not args.model_file:
+            parser.error("--evaluate-dir requires -m/--model-file")
+        cm, acc, labels = evaluate_dir(
+            args.model_file, args.evaluate_dir, threshold=args.threshold
+        )
+        print_confusion(cm, labels)
+        print(f"track accuracy: {acc:.4f}")
+        print(f"model score: {model_score(cm, labels)}")
+        return 0
+    if not args.model_file:
+        parser.error("-m/--model-file is required")
     cm, acc, thresholds, labels = evaluate_records(
         args.model_file, args.data_dir, args.split
     )
     print_confusion(cm, labels)
     print(f"accuracy: {acc:.4f}")
+    print(f"model score: {model_score(cm, labels)}")
     print(f"thresholds: {dict(zip(labels, thresholds))}")
     if args.write_thresholds:
         path = Path(args.write_thresholds)
