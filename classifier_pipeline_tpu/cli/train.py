@@ -23,6 +23,12 @@ def main(argv=None):
     parser.add_argument("--fine-tune", action="store_true",
                         help="reinitialize the prediction head")
     parser.add_argument("--grid-search", action="store_true")
+    parser.add_argument(
+        "--benchmark", type=int, metavar="STEPS", default=0,
+        help="time STEPS synthetic training steps and print throughput",
+    )
+    parser.add_argument("--mixed-precision", action="store_true",
+                        help="bfloat16 compute (TPU-idiomatic)")
     parser.add_argument("--platform", choices=["tpu", "cpu", "default"], default="default")
     args = parser.parse_args(argv)
     if args.platform == "cpu":
@@ -35,6 +41,17 @@ def main(argv=None):
 
     init_logging()
     hp = {"depth": args.depth, "k": args.k}
+    if args.mixed_precision:
+        hp["mixed_precision"] = True
+    if args.benchmark:
+        import json
+
+        res = Trainer.benchmark(
+            args.model_name, batch_size=args.batch_size,
+            n_steps=args.benchmark, hyperparams=hp,
+        )
+        print(json.dumps({k: round(v, 2) for k, v in res.items()}))
+        return 0
     if args.grid_search:
         # reference src/train/search.py grid over depth/k
         import logging

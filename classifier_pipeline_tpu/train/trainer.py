@@ -9,6 +9,7 @@ JSON saved alongside weights.
 
 from __future__ import annotations
 
+import functools
 import json
 import logging
 import time
@@ -78,6 +79,9 @@ class Trainer:
             dense_sizes=self.hp.get("dense_sizes"),
             dropout=self.hp.get("dropout", 0.3),
             multi_label=self.multi_label, logits_only=True,
+            compute_dtype=jnp.bfloat16
+            if self.hp.get("mixed_precision")
+            else jnp.float32,
         )
         lr = learning_rate
         tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
@@ -120,10 +124,13 @@ class Trainer:
             ).astype(np.float32)
             logging.info("class weights: %s",
                          dict(zip(self.labels, class_weights.round(3))))
+        # donate the state: params/opt buffers are updated in place on
+        # device instead of allocating a fresh copy every step
         train_step = jax.jit(
             steps.make_train_step(
                 model, tx, self.multi_label, class_weights=class_weights
-            )
+            ),
+            donate_argnums=(0,),
         )
         eval_step = jax.jit(steps.make_eval_step(model, self.multi_label))
 
@@ -144,7 +151,9 @@ class Trainer:
             for images, labels in loader.epoch():
                 rng, sub = jax.random.split(rng)
                 state, metrics = train_step(state, images, labels, sub)
-                losses.append(float(metrics["loss"]))
+                # keep the device scalar: fetching here would sync every step
+                losses.append(metrics["loss"])
+            losses = [float(x) for x in jax.device_get(losses)] or [np.nan]
             val = self.evaluate(eval_step, state, val_loader)
             self.history["loss"].append(float(np.mean(losses)))
             self.history["val_loss"].append(val["loss"])
@@ -241,6 +250,59 @@ class Trainer:
         )
         self._write_metadata(prefix.with_suffix(".json"))
         logging.info("Saved model to %s", prefix)
+
+    @staticmethod
+    def benchmark(model_name="wr-resnet", batch_size=128, n_steps=50,
+                  hyperparams=None, mixed_precision=True, num_labels=17):
+        """Training-throughput benchmark on synthetic data: returns
+        steps/sec and images/sec for the jitted, state-donated train step
+        (bf16 compute by default — the idiomatic TPU regime)."""
+        hp = dict(hyperparams or {})
+        model = build_classifier(
+            model_name, num_labels, params=hp,
+            dense_sizes=hp.get("dense_sizes"),
+            dropout=hp.get("dropout", 0.3), logits_only=True,
+            compute_dtype=jnp.bfloat16 if mixed_precision else jnp.float32,
+        )
+        tx = optax.adam(1e-3)
+        sw = hp.get("square_width", 5)
+        size = hp.get("frame_size", 32) * sw
+        state = steps.create_train_state(
+            model, jax.random.PRNGKey(0), (1, size, size, 2), tx
+        )
+        step = steps.make_train_step(model, tx)
+        rng = np.random.default_rng(0)
+        images = jnp.asarray(
+            rng.uniform(0, 255, (batch_size, size, size, 2)).astype(np.float32)
+        )
+        labels = jnp.asarray(
+            (rng.uniform(0, 1, (batch_size, num_labels)) > 0.8).astype(
+                np.float32
+            )
+        )
+        key = jax.random.PRNGKey(1)
+        # run n_steps inside ONE device program (lax.scan over steps): a
+        # remote TPU charges dispatch latency per call, which would swamp
+        # the per-step compute of these small models
+        def scan_body(st, i):
+            new_st, m = step(st, images, labels, jax.random.fold_in(key, i))
+            return new_st, m["loss"]
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def run(st):
+            return jax.lax.scan(scan_body, st, jnp.arange(n_steps))
+
+        state, losses = run(state)  # compile
+        float(losses[-1])
+        t0 = time.time()
+        state, losses = run(state)
+        loss = float(losses[-1])  # forces completion of the whole chain
+        dt = time.time() - t0
+        return {
+            "steps_per_sec": n_steps / dt,
+            "images_per_sec": n_steps * batch_size / dt,
+            "loss": loss,
+        }
 
     def _write_metadata(self, path):
         meta = {
