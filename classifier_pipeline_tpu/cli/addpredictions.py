@@ -73,8 +73,11 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
     from classifier_pipeline_tpu.utils.logs import init_logging
+    from classifier_pipeline_tpu.utils.tools import enable_compile_cache
 
     init_logging()
+
+    enable_compile_cache()
     evaluate_db(args.db, args.model_file)
     return 0
 

@@ -32,8 +32,11 @@ def main(argv=None):
     )
     from classifier_pipeline_tpu.data.thermalwriter import create_tf_records
     from classifier_pipeline_tpu.utils.logs import init_logging
+    from classifier_pipeline_tpu.utils.tools import enable_compile_cache
 
     init_logging()
+
+    enable_compile_cache()
     config = Config.load_from_file(args.config_file)
     build_cfg = config.get("build", {}) or {}
     test_clips = build_cfg.get("test_clips") or []

@@ -9,6 +9,7 @@ from pathlib import Path
 
 from classifier_pipeline_tpu.config.config import Config, ModelConfig
 from classifier_pipeline_tpu.utils.logs import init_logging
+from classifier_pipeline_tpu.utils.tools import enable_compile_cache
 
 
 def main(argv=None):
@@ -34,6 +35,7 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
     init_logging()
+    enable_compile_cache()
     config = Config.load_from_file(args.config_file)
 
     from classifier_pipeline_tpu.pipeline.clipclassifier import ClipClassifier

@@ -73,8 +73,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
     from classifier_pipeline_tpu.classify.interpreter import FlaxInterpreter
     from classifier_pipeline_tpu.utils.logs import init_logging
+    from classifier_pipeline_tpu.utils.tools import enable_compile_cache
 
     init_logging()
+
+    enable_compile_cache()
     interpreter = FlaxInterpreter(args.model_file)
     if args.export_orbax:
         export_orbax(interpreter, args.export_orbax)

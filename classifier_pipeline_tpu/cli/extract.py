@@ -19,6 +19,7 @@ from classifier_pipeline_tpu.pipeline.extractor import (
     save_metadata,
 )
 from classifier_pipeline_tpu.utils.logs import init_logging
+from classifier_pipeline_tpu.utils.tools import enable_compile_cache
 
 
 def process_one(args):
@@ -111,6 +112,7 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
     init_logging()
+    enable_compile_cache()
     config = Config.load_from_file(args.config_file)
 
     target = Path(args.target)

@@ -60,8 +60,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
     from classifier_pipeline_tpu.data.trackdb import TrackDatabase
     from classifier_pipeline_tpu.utils.logs import init_logging
+    from classifier_pipeline_tpu.utils.tools import enable_compile_cache
 
     init_logging()
+
+    enable_compile_cache()
     db = TrackDatabase(args.out_file)
     files = sorted(Path(args.data_dir).rglob("*.cptv"))
     done = 0

@@ -271,8 +271,11 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", "cpu")
     from classifier_pipeline_tpu.utils.logs import init_logging
+    from classifier_pipeline_tpu.utils.tools import enable_compile_cache
 
     init_logging()
+
+    enable_compile_cache()
     if args.metadata_dir:
         cm, acc, labels = metadata_confusion(args.metadata_dir)
         print_confusion(cm, labels)

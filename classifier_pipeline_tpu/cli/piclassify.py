@@ -164,8 +164,11 @@ def main(argv=None):
     from classifier_pipeline_tpu.config.config import Config
     from classifier_pipeline_tpu.config.thermalconfig import ThermalConfig
     from classifier_pipeline_tpu.utils.logs import init_logging
+    from classifier_pipeline_tpu.utils.tools import enable_compile_cache
 
     init_logging()
+
+    enable_compile_cache()
     config = Config.load_from_file(args.config_file)
     thermal_config = ThermalConfig.load_from_file(args.thermal_config_file)
 

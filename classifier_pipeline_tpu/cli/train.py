@@ -38,8 +38,11 @@ def main(argv=None):
 
     from classifier_pipeline_tpu.train.trainer import Trainer
     from classifier_pipeline_tpu.utils.logs import init_logging
+    from classifier_pipeline_tpu.utils.tools import enable_compile_cache
 
     init_logging()
+
+    enable_compile_cache()
     hp = {"depth": args.depth, "k": args.k}
     if args.mixed_precision:
         hp["mixed_precision"] = True

@@ -151,6 +151,10 @@ class PiClassifier:
             res_y=headers.res_y,
         )
         self.tracker = StreamingTracker(self.tracker_params, fps=headers.fps)
+        # compile the streaming step now, before any frame arrives (the
+        # reference similarly front-loads model loading before the camera
+        # handshake)
+        self.tracker.warmup()
         self.service = SnapshotService(
             headers=headers,
             labels=self.classifier.labels if self.classifier else [],

@@ -52,6 +52,21 @@ class StreamingTracker:
         self.current_frame = -1
         self.frames = []  # per-frame FrameRows (numpy) if needed
 
+    def warmup(self):
+        """Compile (or load from the persistent cache, where serializable)
+        the streaming step + row fetch before any frame arrives. A live
+        deployment pays this at service start — the reference likewise loads
+        models before the camera handshake — so replay fps reflects the
+        steady state. State is untouched: a scratch carry is used."""
+        H, W = self.params.res_y, self.params.res_x
+        carry = tracker_jax.init_carry(self.params, np.zeros((H, W), np.uint16))
+        _, rows = _stream_step(
+            self.params, carry,
+            np.zeros((H, W), np.int32), np.zeros((H, W), np.float32),
+            np.int32(0), np.int32(1), np.bool_(False),
+        )
+        tracker_jax.fetch_rows(rows)
+
     def start_clip(self):
         self.carry = tracker_jax.init_carry(
             self.params, np.zeros((self.params.res_y, self.params.res_x), np.uint16)

@@ -85,8 +85,11 @@ def main(argv=None):
     args = parser.parse_args(argv)
     from classifier_pipeline_tpu.config.config import Config
     from classifier_pipeline_tpu.utils.logs import init_logging
+    from classifier_pipeline_tpu.utils.tools import enable_compile_cache
 
     init_logging()
+
+    enable_compile_cache()
     config = Config.load_from_file(args.config_file)
     ClassifyService(config, args.socket).run()
     return 0

@@ -75,8 +75,11 @@ def main(argv=None):
     from classifier_pipeline_tpu.config.config import Config
     from classifier_pipeline_tpu.pipeline.clipclassifier import ClipClassifier
     from classifier_pipeline_tpu.utils.logs import init_logging
+    from classifier_pipeline_tpu.utils.tools import enable_compile_cache
 
     init_logging()
+
+    enable_compile_cache()
     config = Config.load_from_file(args.config_file)
     watcher = DirWatcher(args.watch_dir, ClipClassifier(config))
     watcher.run()

@@ -63,8 +63,11 @@ def main(argv=None):
     from classifier_pipeline_tpu.classify.interpreter import FlaxInterpreter
     from classifier_pipeline_tpu.config.config import Config
     from classifier_pipeline_tpu.utils.logs import init_logging
+    from classifier_pipeline_tpu.utils.tools import enable_compile_cache
 
     init_logging()
+
+    enable_compile_cache()
     model_file = args.model_file
     if model_file is None:
         config = Config.load_from_file(args.config_file)

@@ -9,6 +9,31 @@ from pathlib import Path
 import numpy as np
 
 
+def enable_compile_cache(path=None):
+    """Point jax at a persistent compilation cache so CLI runs skip the
+    one-time jit compiles (the streaming step alone costs ~10s to compile
+    on a Pi-class core; a remote-TPU Mosaic compile can cost minutes).
+    Override the location with CPTPU_JAX_CACHE; disable with
+    CPTPU_JAX_CACHE=0."""
+    import os
+
+    import jax
+
+    path = path or os.environ.get("CPTPU_JAX_CACHE")
+    if path == "0":
+        return
+    if not path:
+        path = os.path.expanduser("~/.cache/classifier-pipeline-tpu/jax")
+    try:
+        os.makedirs(path, exist_ok=True)
+    except OSError:
+        return
+    jax.config.update("jax_compilation_cache_dir", str(path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # CPU executables report size <= 0; the default 0-byte floor rejects them
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 def eucl_distance_sq(first, second):
     x = first[0] - second[0]
     y = first[1] - second[1]
