@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import logging
+import os
 import queue
 import socket
 import sys
@@ -84,17 +85,25 @@ def handle_connection(conn, config, thermal_config, args):
     from classifier_pipeline_tpu.pipeline.piclassifier import PiClassifier
 
     conn.settimeout(180)
-    # YAML header handshake terminated by a clear-byte pair
+    # YAML header handshake terminated by "\n\n"; bytes past the terminator
+    # are the start of the frame stream and MUST be kept (TCP coalescing —
+    # reference handle_headers piclassify.py:435-452 returns left_over)
     data = b""
-    while b"\nclear" not in data and len(data) < 10000:
+    while True:
         chunk = conn.recv(4096)
         if not chunk:
             raise ConnectionError("no header received")
         data += chunk
-        if b"\n\n" in data:
+        done = data.find(b"\n\n")
+        if done > -1:
+            left_over = data[done + 2 :]
+            data = data[:done]
+            if left_over[:5] == b"clear":
+                left_over = left_over[5:]
             break
-    header_str = data.split(b"\n\n")[0].decode()
-    headers = HeaderInfo.parse_header(header_str)
+        if len(data) > 10000:
+            raise ConnectionError("oversized header")
+    headers = HeaderInfo.parse_header(data.decode())
     logging.info("Camera connected: %s", headers)
     camera = camera_for_headers(headers)
 
@@ -108,12 +117,34 @@ def handle_connection(conn, config, thermal_config, args):
     process_queue: queue.Queue = queue.Queue()
 
     def classifier_loop():
+        # crash-resilient: the reference's camera reader restarts a dead
+        # classifier process (piclassify.py:502-507, 690-696); here the
+        # classifier is a thread, so a crashed frame loop rebuilds the
+        # PiClassifier in place and keeps consuming
+        nonlocal pi
         while True:
             item = process_queue.get()
             if item is None:
                 break
             frame, received = item
-            pi.process_frame(frame, received)
+            try:
+                pi.process_frame(frame, received)
+            except Exception:
+                logging.exception("classifier crashed; restarting pipeline")
+                from classifier_pipeline_tpu.services.eventreporter import (
+                    log_event,
+                )
+
+                log_event("Classify Error", "classifier restarted")
+                try:
+                    pi = PiClassifier(
+                        config, thermal_config, headers,
+                        classify=thermal_config.motion.run_classifier,
+                        seed=args.seed,
+                    )
+                except Exception:
+                    logging.exception("classifier restart failed; exiting")
+                    break
 
     worker = threading.Thread(target=classifier_loop, daemon=True)
     worker.start()
@@ -121,12 +152,18 @@ def handle_connection(conn, config, thermal_config, args):
     dropped = 0
     try:
         while True:
-            buf = b""
+            buf = left_over  # handshake leftovers prefix the first frame
+            left_over = b""
             while len(buf) < frame_size:
                 chunk = conn.recv(frame_size - len(buf), socket.MSG_WAITALL)
                 if not chunk:
                     raise ConnectionError("camera disconnected")
                 buf += chunk
+            if buf[:5] == b"clear":
+                # camera-side processing error signal (reference
+                # piclassify.py:708-714)
+                logging.info("processing error from camera")
+                break
             frame = camera.parse(buf)
             if frame.pix.min() == 0:
                 from classifier_pipeline_tpu.services.eventreporter import log_event
@@ -174,6 +211,20 @@ def main(argv=None):
 
     if args.file:
         return replay_file(args, config, thermal_config)
+
+    # config-change watcher: exit so the service manager restarts us with
+    # the new config (reference monitorconfig.py:7 + piclassify.py:193-199)
+    from classifier_pipeline_tpu.services.devices import ConfigMonitor
+
+    watched = [p for p in (args.config_file, args.thermal_config_file) if p]
+
+    def _on_config_change():
+        logging.info("config changed; exiting for service-manager restart")
+        os._exit(3)
+
+    monitors = [ConfigMonitor(p, _on_config_change) for p in watched]
+    for m in monitors:
+        m.start()
 
     sock_path = Path(args.socket)
     if sock_path.exists():
