@@ -115,6 +115,59 @@ def score(stat, max_mass, max_median_diff, min_median_diff, max_contour):
     return s
 
 
+def get_track_thumb_stats_from_rows(track, medians):
+    """Same stats as get_track_thumb_stats, but from the scan's
+    device-computed per-row component stats (boundary length + component
+    thermal median) — no detection masks needed on the host. ``medians``:
+    per-frame thermal medians (device-computed)."""
+    max_mass = 0
+    max_median_diff = 0.0
+    min_median_diff = 0.0
+    max_contour = 0
+    stats = []
+    for region in track.bounds:
+        if region.blank or region.mass == 0:
+            continue
+        points = int(getattr(region, "contours", 0))
+        if points == 0:
+            continue
+        raw = getattr(region, "median_raw", float("nan"))
+        if raw != raw:  # nan: stats unavailable for this row
+            continue
+        max_contour = max(max_contour, points)
+        median_diff = float(raw - medians[region.frame_number])
+        max_mass = max(max_mass, region.mass)
+        max_median_diff = max(max_median_diff, median_diff)
+        min_median_diff = min(min_median_diff, median_diff)
+        stats.append(Stat(region, points, median_diff))
+    return stats, max_mass, max_median_diff, min_median_diff, max_contour
+
+
+def thumbnail_metadata_from_rows(track, medians):
+    """thumbnail_metadata using device row stats instead of host masks."""
+    stats, max_mass, max_md, min_md, max_c = get_track_thumb_stats_from_rows(
+        track, medians
+    )
+    if len(stats) == 0:
+        if len(track.bounds) == 0:
+            return None
+        best, best_score = Stat(track.bounds[0], 0, 0), 0
+    else:
+        ranked = sorted(
+            stats,
+            key=lambda s: score(s, max_mass, max_md, min_md, max_c),
+            reverse=True,
+        )
+        best = ranked[0]
+        best_score = score(best, max_mass, max_md, min_md, max_c)
+    return {
+        "region": best.region.meta_dict(),
+        "contours": int(best.contours),
+        "median_diff": float(best.median_diff),
+        "score": round(best_score),
+    }
+
+
 def get_thumbnail_info(thermal, masks, track, background_thresh=20,
                        medians=None):
     stats, max_mass, max_md, min_md, max_c = get_track_thumb_stats(

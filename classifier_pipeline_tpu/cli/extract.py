@@ -28,7 +28,7 @@ def process_one(args):
     debug_preview = preview == "tracking"
     ex = ClipTrackExtractor(
         config=config_raw, keep_rows=debug_preview,
-        emit_filtered=debug_preview,
+        emit_filtered=debug_preview, emit_mask=debug_preview,
     )
     res = ex.extract(path)
     # reference behavior (trackextractor.py:164-166, get_metadata:237-246):

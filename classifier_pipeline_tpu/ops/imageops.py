@@ -160,6 +160,11 @@ class ComponentStats(NamedTuple):
     cy: jax.Array
     valid: jax.Array  # (K,) bool
     overflow: jax.Array  # scalar i32
+    # thumbnail stats (populated by connected_components_stats when asked):
+    # external-boundary pixel count, and the integer median of an auxiliary
+    # image (thermal) over the component's pixels
+    boundary: jax.Array | None = None  # (K,) i32
+    aux_median: jax.Array | None = None  # (K,) f32
 
 
 def _masked_neighbor_min(lab, big):
@@ -188,8 +193,39 @@ def _segmented_min_scan(values, is_bg, axis, reverse):
     return v
 
 
+def _component_medians(eq, area, img_i32, value_bits=16):
+    """Exact integer median of img over each component (binary search on
+    value: the k-th smallest via count(<=mid) >= k; np.median semantics —
+    mean of the two middle values for even counts)."""
+    K = eq.shape[0]
+    n = area
+    k1 = (n - 1) // 2 + 1  # 1-indexed lower-middle order stat
+    k2 = n // 2 + 1
+
+    def kth(k):
+        lo = jnp.zeros((K,), jnp.int32)
+        hi = jnp.full((K,), (1 << value_bits) - 1, jnp.int32)
+
+        def body(_, lohi):
+            lo, hi = lohi
+            mid = (lo + hi) >> 1
+            cnt = jnp.sum(
+                eq & (img_i32[None] <= mid[:, None, None]),
+                axis=(1, 2), dtype=jnp.int32,
+            )
+            ge = cnt >= k
+            return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+        lo, hi = jax.lax.fori_loop(0, value_bits, body, (lo, hi))
+        return hi
+
+    v1 = kth(k1)
+    v2 = kth(k2)
+    return jnp.where(n > 0, (v1 + v2).astype(jnp.float32) / 2.0, 0.0)
+
+
 def connected_components_stats(
-    mask: jax.Array, max_components: int = 16
+    mask: jax.Array, max_components: int = 16, aux_img: jax.Array | None = None
 ) -> ComponentStats:
     """8-connected component labeling + per-component stats.
 
@@ -270,6 +306,24 @@ def connected_components_stats(
     denom = jnp.maximum(area, 1).astype(jnp.float32)
     cx = jnp.sum(jnp.where(eq, xs, 0), axis=(1, 2)).astype(jnp.float32) / denom
     cy = jnp.sum(jnp.where(eq, ys, 0), axis=(1, 2)).astype(jnp.float32) / denom
+    if aux_img is not None:
+        # external-boundary pixel count per component: a pixel's 4-neighbour
+        # foreground count within its own 8-connected component equals its
+        # count within the whole mask (two distinct 8-components are never
+        # 4-adjacent), so one boundary mask + per-component sums suffice
+        p = jnp.pad(fg, 1)
+        nb4 = (
+            p[:-2, 1:-1].astype(jnp.int32)
+            + p[2:, 1:-1]
+            + p[1:-1, :-2]
+            + p[1:-1, 2:]
+        )
+        bnd = fg & (nb4 < 4)
+        boundary = jnp.sum(eq & bnd[None], axis=(1, 2), dtype=jnp.int32)
+        aux_median = _component_medians(eq, area, aux_img.astype(jnp.int32))
+    else:
+        boundary = jnp.zeros((K,), jnp.int32)
+        aux_median = jnp.zeros((K,), jnp.float32)
     return ComponentStats(
         x=jnp.where(valid, x0, 0),
         y=jnp.where(valid, y0, 0),
@@ -280,21 +334,25 @@ def connected_components_stats(
         cy=jnp.where(valid, cy, 0.0),
         valid=valid,
         overflow=overflow,
+        boundary=jnp.where(valid, boundary, 0),
+        aux_median=jnp.where(valid, aux_median, 0.0),
     )
 
 
 def detect_objects(
-    filtered_u8: jax.Array, threshold: jax.Array, max_components: int = 16
+    filtered_u8: jax.Array, threshold: jax.Array, max_components: int = 16,
+    aux_img: jax.Array | None = None,
 ) -> tuple[jax.Array, ComponentStats]:
     """reference detect_objects (src/ml_tools/imageprocessing.py:240): u8 ->
     GaussianBlur(5,5) -> threshold -> close(2x1 tuple-quirk) -> CCL w/ stats.
 
-    Returns (binary mask, ComponentStats).
+    Returns (binary mask, ComponentStats). aux_img (e.g. the raw thermal)
+    adds per-component medians for thumbnail scoring.
     """
     blurred = gaussian_blur5_u8(filtered_u8)
     th = threshold_binary_u8(blurred, threshold)
     closed = close_2x1(th)
-    return closed, connected_components_stats(closed, max_components)
+    return closed, connected_components_stats(closed, max_components, aux_img)
 
 
 def open_2x1(mask: jax.Array) -> jax.Array:
@@ -308,13 +366,14 @@ def open_2x1(mask: jax.Array) -> jax.Array:
 
 
 def detect_objects_ir(
-    filtered_u8: jax.Array, threshold: jax.Array, max_components: int = 16
+    filtered_u8: jax.Array, threshold: jax.Array, max_components: int = 16,
+    aux_img: jax.Array | None = None,
 ) -> tuple[jax.Array, ComponentStats]:
     """reference detect_objects_ir (imageprocessing.py:185-199): u8 ->
     MORPH_OPEN (tuple-quirk 2x1) -> threshold -> CCL with stats."""
     opened = open_2x1(filtered_u8.astype(jnp.int32))
     th = threshold_binary_u8(opened, threshold)
-    return th, connected_components_stats(th, max_components)
+    return th, connected_components_stats(th, max_components, aux_img)
 
 
 def merge_components_ir(
@@ -385,6 +444,26 @@ def merge_components_ir(
         cy=jnp.where(g(is_root), g(cys) / g(denom), 0.0),
         valid=g(is_root),
         overflow=comps.overflow,
+        # merged thumbnail stats: boundaries of disjoint members add; the
+        # median approximates as the mass-dominant member's
+        boundary=None
+        if comps.boundary is None
+        else jnp.where(
+            g(is_root),
+            g(jnp.sum(jnp.where(eq, comps.boundary[None, :], 0), axis=1)),
+            0,
+        ),
+        aux_median=None
+        if comps.aux_median is None
+        else jnp.where(
+            g(is_root),
+            g(
+                comps.aux_median[
+                    jnp.argmax(jnp.where(eq, comps.area[None, :], -1), axis=1)
+                ]
+            ),
+            0.0,
+        ),
     )
 
 

@@ -13,6 +13,7 @@ import dataclasses
 import datetime
 import json
 import logging
+import os
 import time
 from pathlib import Path
 from zoneinfo import ZoneInfo
@@ -104,12 +105,14 @@ class ClipTrackExtractor:
         keep_rows=True,
         emit_filtered=False,
         calculate_thumbnails=True,
+        emit_mask=False,
     ):
         self.config = config or {}
         self.verbose = verbose
         self.keep_rows = keep_rows
         self.emit_filtered = emit_filtered
         self.calculate_thumbnails = calculate_thumbnails
+        self.emit_mask = emit_mask
         self._clip_id = 0
 
     def params_for(self, camera_model) -> TrackingParams:
@@ -125,7 +128,14 @@ class ClipTrackExtractor:
             max_track_slots=tracking.get("max_track_slots", 24),
             max_region_slots=tracking.get("max_region_slots", 16),
             emit_filtered=self.emit_filtered,
-            emit_mask=self.calculate_thumbnails,
+            # masks only leave the device when a caller needs them (debug
+            # previews, CPTPU_HOST_THUMBS validation); thumbnails use the
+            # scan's per-row component stats
+            emit_mask=self.emit_mask
+            or (
+                self.calculate_thumbnails
+                and os.environ.get("CPTPU_HOST_THUMBS", "0") == "1"
+            ),
         )
 
     def _prepare(self, path, process_background=False, clip_id=None):
@@ -293,18 +303,31 @@ class ClipTrackExtractor:
     def _add_thumbnails(self, meta, thermal, rows, tracks, th, medians=None):
         """reference trackextractor.get_metadata:205-230 thumbnail wiring.
 
-        medians: per-frame medians precomputed on device by the batch scan
-        (tracker_jax._frame_medians_u16); falls back to the host computation
-        for the single-clip path."""
+        Default path: the scan's device-computed per-row component stats
+        (boundary length + component median) + per-frame medians — no
+        detection-mask transfer or host mask crunching. The mask-based host
+        computation remains for rows without stats (or CPTPU_HOST_THUMBS=1,
+        used by the equivalence test)."""
         from classifier_pipeline_tpu.classify import thumbnail
 
-        masks = tracker_jax.unpack_mask(rows.mask)
         if medians is None:
             medians = thumbnail.frame_medians(thermal) if tracks else None
-        for i, track in enumerate(tracks):
-            meta["tracks"][i]["thumbnail"] = thumbnail.thumbnail_metadata(
-                thermal, masks, track, th["background_thresh"], medians=medians
-            )
+        use_rows = (
+            os.environ.get("CPTPU_HOST_THUMBS", "0") != "1"
+            and getattr(rows, "contours", None) is not None
+        )
+        if use_rows:
+            for i, track in enumerate(tracks):
+                meta["tracks"][i]["thumbnail"] = (
+                    thumbnail.thumbnail_metadata_from_rows(track, medians)
+                )
+        else:
+            masks = tracker_jax.unpack_mask(rows.mask)
+            for i, track in enumerate(tracks):
+                meta["tracks"][i]["thumbnail"] = thumbnail.thumbnail_metadata(
+                    thermal, masks, track, th["background_thresh"],
+                    medians=medians,
+                )
         if not tracks:
             region_history = []
             rv = np.asarray(rows.reg_valid)

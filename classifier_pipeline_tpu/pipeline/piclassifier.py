@@ -146,7 +146,10 @@ class PiClassifier:
             weight_add=1.0 if headers.model == "lepton3.5" else 0.1,
             external_background=True,
             emit_filtered=True,
+            # CPU streaming: the in-scan median search is too slow per frame
+            # on one core, so fetch the mask and compute thumb stats on host
             emit_mask=True,
+            thumb_stats=False,
             res_x=headers.res_x,
             res_y=headers.res_y,
         )
@@ -235,24 +238,40 @@ class PiClassifier:
         from classifier_pipeline_tpu.classify import thumbnail
         from classifier_pipeline_tpu.track import tracker_jax
 
-        mask = None
+        use_rows = self.tracker_params.thumb_stats
         median = None
-        for track in self.tracker.active_tracks:
+        mask = None
+        contours = np.asarray(rows.contours) if use_rows else None
+        median_raw = np.asarray(rows.median_raw) if use_rows else None
+        active = self.tracker.active_tracks
+        for k, track in self.tracker.tracks.items():
+            if track not in active:
+                continue
             b = track.last_bound
             if b is None or b.blank or b.mass == 0 or b.frame_number != t_idx:
                 continue
-            if mask is None:
-                mask = tracker_jax.unpack_mask(np.asarray(rows.mask))
+            if median is None:
                 median = float(np.median(frame.pix))
-            sub = mask[b.y : b.bottom, b.x : b.right]
-            points = thumbnail.largest_boundary_length(sub)
-            if points == 0:
-                continue
-            thermal_sub = np.asarray(frame.pix)[b.y : b.bottom, b.x : b.right]
-            masked = thermal_sub[sub > 0]
-            if masked.size == 0:
-                continue
-            median_diff = float(np.median(masked) - median)
+            if use_rows:
+                # device-computed stats for this slot's matched component
+                points = int(contours[k])
+                if points == 0:
+                    continue
+                median_diff = float(median_raw[k] - median)
+            else:
+                if mask is None:
+                    mask = tracker_jax.unpack_mask(np.asarray(rows.mask))
+                sub = mask[b.y : b.bottom, b.x : b.right]
+                points = thumbnail.largest_boundary_length(sub)
+                if points == 0:
+                    continue
+                thermal_sub = np.asarray(frame.pix)[
+                    b.y : b.bottom, b.x : b.right
+                ]
+                masked = thermal_sub[sub > 0]
+                if masked.size == 0:
+                    continue
+                median_diff = float(np.median(masked) - median)
             stat = thumbnail.Stat(b, points, median_diff)
             best = getattr(track, "thumb_stat", None)
             # relative score vs the track's own running maxima

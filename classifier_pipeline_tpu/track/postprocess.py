@@ -34,6 +34,9 @@ class RegionRow:
     centroid: tuple[float, float]
     is_along_border: bool
     in_trap: bool = False
+    # device-computed thumbnail stats (0/nan when unavailable)
+    contours: int = 0
+    median_raw: float = float("nan")
 
     @property
     def right(self):
@@ -262,6 +265,8 @@ def assemble_tracks(rows, fps: float = 9.0) -> list[AssembledTrack]:
     cent = np.asarray(rows.cent)
     var = np.asarray(rows.variance)
     border = np.asarray(rows.border)
+    contours = np.asarray(rows.contours)
+    median_raw = np.asarray(rows.median_raw)
 
     tracks = []
     for k in range(K):
@@ -283,6 +288,8 @@ def assemble_tracks(rows, fps: float = 9.0) -> list[AssembledTrack]:
                 pixel_variance=float(var[t, k]), blank=bool(blank[t, k]),
                 centroid=(float(cent[t, k, 0]), float(cent[t, k, 1])),
                 is_along_border=bool(border[t, k]),
+                contours=int(contours[t, k]),
+                median_raw=float(median_raw[t, k]),
             )
             bounds.append(r)
             if prev_cent is None:

@@ -80,6 +80,11 @@ class TrackingParams:
     emit_filtered: bool = False
     # emit the per-frame detection mask (for thumbnails / previews)
     emit_mask: bool = False
+    # compute per-component thumbnail stats (boundary + thermal median) in
+    # the scan. On TPU this is nearly free and removes the mask transfer;
+    # the CPU streaming path keeps it off (the median binary search costs
+    # ~30ms/frame there) and uses the mask-based host computation instead.
+    thumb_stats: bool = True
     # streaming mode: the background model lives outside (the motion
     # detector's WeightedBackground — reference piclassifier shares it with
     # the tracker via start_tracking(background_alg=...)); each step receives
@@ -150,6 +155,10 @@ class FrameRows(NamedTuple):
     cent: jax.Array  # (K, 2) f32
     variance: jax.Array  # (K,) f32
     border: jax.Array  # (K,) bool
+    # device-computed thumbnail stats of the slot's matched component:
+    # external-boundary pixel count + thermal median over its pixels
+    contours: jax.Array  # (K,) i32
+    median_raw: jax.Array  # (K,) f32
     # region history (for thumbnails / diagnostics)
     reg_valid: jax.Array  # (R,) bool
     reg_x: jax.Array  # (R,) i32
@@ -337,7 +346,12 @@ def make_scan_step(p: TrackingParams):
             # filtered channel := foreground mask; detect on the scaled mask
             filtered_raw = fg_mask.astype(jnp.float32)
             mapped_thresh = jnp.float32(0.0)
-            det_mask, comps = ops.detect_objects_ir(fg_mask, mapped_thresh, KR)
+            det_mask, comps = ops.detect_objects_ir(
+                fg_mask, mapped_thresh, KR,
+                # gray median only computable when detection runs at full
+                # resolution (scaled IR masks don't align with the gray frame)
+                aux_img=thermal_u16 if p.detect_scale == 1.0 else None,
+            )
             comps = ops.merge_components_ir(
                 comps,
                 max_gap=p.ir_merge_max_gap * p.detect_scale
@@ -403,7 +417,13 @@ def make_scan_step(p: TrackingParams):
             )
 
             # ---- detect objects ---------------------------------------------
-            det_mask, comps = ops.detect_objects(obj, mapped_thresh, KR)
+            # aux_img=thermal: the CCL pass also computes each component's
+            # boundary length + thermal median for thumbnail scoring, so the
+            # detection masks never need to leave the device
+            det_mask, comps = ops.detect_objects(
+                obj, mapped_thresh, KR,
+                aux_img=thermal_u16 if p.thumb_stats else None,
+            )
 
             # ---- delta frame for pixel variance -----------------------------
             cur_norm, _, _ = normalize255(filtered_raw)
@@ -470,6 +490,8 @@ def make_scan_step(p: TrackingParams):
             "mass": rmass[order], "cx": rcx[order], "cy": rcy[order],
             "var": variance[order], "border": border[order],
             "area": (ew * eh)[order],
+            "contours": comps.boundary[order],
+            "median_raw": comps.aux_median[order],
         }
 
         slots = carry.slots
@@ -652,6 +674,8 @@ def make_scan_step(p: TrackingParams):
         sel_cent = jnp.stack([g(reg["cx"]), g(reg["cy"])], axis=1)
         sel_var = g(reg["var"])
         sel_border = g(reg["border"])
+        sel_contours = g(reg["contours"])
+        sel_median = g(reg["median_raw"])
 
         active_unmatched = slots.active & ~matched  # blanked this frame
 
@@ -785,6 +809,8 @@ def make_scan_step(p: TrackingParams):
             mass=new_last_mass, cent=new_last_cent,
             variance=jnp.where(take_reg, sel_var, 0.0),
             border=new_last_border,
+            contours=jnp.where(take_reg, sel_contours, 0),
+            median_raw=jnp.where(take_reg, sel_median, 0.0),
             reg_valid=jnp.where(ffc, False, rv),
             reg_x=reg["x"], reg_y=reg["y"], reg_w=reg["w"], reg_h=reg["h"],
             reg_mass=reg["mass"], reg_variance=reg["var"],
@@ -1231,7 +1257,8 @@ def _pack_rows(rows: FrameRows):
     # mass rides in the f32 block: IR masses can exceed uint16
     slot_f32 = jnp.stack(
         [rows.cent[..., 0], rows.cent[..., 1], rows.variance,
-         rows.mass.astype(jnp.float32)], axis=-1
+         rows.mass.astype(jnp.float32),
+         rows.contours.astype(jnp.float32), rows.median_raw], axis=-1
     )
     reg_u16 = jnp.stack(
         [
@@ -1287,6 +1314,8 @@ def _rows_from_packed(rows: FrameRows, packed_np, mask) -> FrameRows:
         cent=slot_f32[..., 0:2].copy(),
         variance=slot_f32[..., 2],
         border=(flags & 4) > 0,
+        contours=i32(slot_f32[..., 4]),
+        median_raw=slot_f32[..., 5],
         reg_valid=reg_u16[..., 0] > 0,
         reg_x=i32(reg_u16[..., 1]),
         reg_y=i32(reg_u16[..., 2]),
