@@ -143,23 +143,37 @@ void decode_frame_data(const uint8_t* data, size_t size, int w_bits, int width,
   const size_t nbytes = size - 4;
   const uint32_t sign_bit = 1u << (w_bits - 1);
   const uint32_t mask = (w_bits >= 32) ? 0xffffffffu : ((1u << w_bits) - 1);
-  for (int i = 0; i < npix; i++) {
-    if (i > 0) {
-      while (nbits < w_bits && bytepos < nbytes) {
-        bitbuf = (bitbuf << 8) | packed[bytepos++];
-        nbits += 8;
+  // row-major outer loop with a direction flip per row (snake scan): no
+  // per-pixel div/mod, prev-null hoisted, and the bit reader refills up to
+  // 32 bits at a time (w_bits <= 32, so one refill per pixel suffices)
+  (void)npix;
+  const int32_t signed_bias = static_cast<int32_t>(mask) + 1;
+  bool first = true;
+  for (int row = 0; row < height; row++) {
+    uint16_t* orow = out + static_cast<size_t>(row) * width;
+    const uint16_t* prow =
+        prev ? prev + static_cast<size_t>(row) * width : nullptr;
+    const bool rev = row & 1;
+    for (int c = 0; c < width; c++) {
+      if (!first) {
+        if (nbits < w_bits) {
+          while (nbits <= 56 && bytepos < nbytes) {
+            bitbuf = (bitbuf << 8) | packed[bytepos++];
+            nbits += 8;
+          }
+        }
+        uint32_t raw =
+            static_cast<uint32_t>(bitbuf >> (nbits - w_bits)) & mask;
+        nbits -= w_bits;
+        int32_t adj = static_cast<int32_t>(raw);
+        if (raw & sign_bit) adj -= signed_bias;
+        value += adj;
       }
-      uint32_t raw = static_cast<uint32_t>(bitbuf >> (nbits - w_bits)) & mask;
-      nbits -= w_bits;
-      int32_t adj = static_cast<int32_t>(raw);
-      if (raw & sign_bit) adj -= static_cast<int32_t>(mask) + 1;
-      value += adj;
+      first = false;
+      const int col = rev ? width - 1 - c : c;
+      orow[col] = static_cast<uint16_t>(
+          (prow ? static_cast<int32_t>(prow[col]) : 0) + value);
     }
-    int row = i / width;
-    int col = i % width;
-    if (row & 1) col = width - 1 - col;  // snake scan
-    int idx = row * width + col;
-    out[idx] = static_cast<uint16_t>(static_cast<int32_t>(prev ? prev[idx] : 0) + value);
   }
 }
 
