@@ -249,6 +249,17 @@ def evaluate_records(model_file, data_dir, split="test", batch_size=32):
     return cm, acc, thresholds, interp.labels
 
 
+def _emit_confusion(cm, labels, confusion_file):
+    print_confusion(cm, labels)
+    if confusion_file:
+        from classifier_pipeline_tpu.utils.visualise import (
+            plot_confusion_matrix,
+        )
+
+        plot_confusion_matrix(cm, labels, confusion_file)
+        print(f"wrote confusion plot to {confusion_file}")
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="evaluate a trained model")
     parser.add_argument("-m", "--model-file")
@@ -264,6 +275,10 @@ def main(argv=None):
         help="re-classify CPTV files under this dir and score vs human tags",
     )
     parser.add_argument("--threshold", type=float, default=0.5)
+    parser.add_argument(
+        "--confusion-file",
+        help="write the confusion matrix as a PNG (reference --confusion)",
+    )
     parser.add_argument("--platform", choices=["tpu", "cpu", "default"], default="default")
     args = parser.parse_args(argv)
     if args.platform == "cpu":
@@ -278,7 +293,7 @@ def main(argv=None):
     enable_compile_cache()
     if args.metadata_dir:
         cm, acc, labels = metadata_confusion(args.metadata_dir)
-        print_confusion(cm, labels)
+        _emit_confusion(cm, labels, args.confusion_file)
         print(f"track accuracy: {acc:.4f}")
         print(f"model score: {model_score(cm, labels)}")
         return 0
@@ -288,7 +303,7 @@ def main(argv=None):
         cm, acc, labels = evaluate_dir(
             args.model_file, args.evaluate_dir, threshold=args.threshold
         )
-        print_confusion(cm, labels)
+        _emit_confusion(cm, labels, args.confusion_file)
         print(f"track accuracy: {acc:.4f}")
         print(f"model score: {model_score(cm, labels)}")
         return 0
@@ -297,7 +312,7 @@ def main(argv=None):
     cm, acc, thresholds, labels = evaluate_records(
         args.model_file, args.data_dir, args.split
     )
-    print_confusion(cm, labels)
+    _emit_confusion(cm, labels, args.confusion_file)
     print(f"accuracy: {acc:.4f}")
     print(f"model score: {model_score(cm, labels)}")
     print(f"thresholds: {dict(zip(labels, thresholds))}")
