@@ -708,11 +708,28 @@ def classify_clip_batch_dispatch(interpreter, ctxs, track_lists, min_segments=1)
         reg_arr, valid, tr, tv, seg_idx, features, caz, clip_idx = arrays
         B = len(ctxs)
         H, W = ctxs[0]._thermal_np.shape[1:]
-        T = max(int(c._thermal_np.shape[0]) for c in ctxs)
-        thermal_all = np.zeros((B, T, H, W), np.uint16)
-        for ci, ctx in enumerate(ctxs):
-            t = int(ctx._thermal_np.shape[0])
-            thermal_all[ci, :t] = np.asarray(ctx._thermal_np, np.uint16)
+        dev_thermals = [getattr(c, "thermal_dev16", None) for c in ctxs]
+        if all(d is not None for d in dev_thermals):
+            # reuse device-resident thermal (e.g. the sharded-SPMD scan sets
+            # per-clip slices): pad to the batch max on device, no re-upload
+            T = max(int(d.shape[0]) for d in dev_thermals)
+            thermal_all = jnp.stack(
+                [
+                    d
+                    if int(d.shape[0]) == T
+                    else jnp.concatenate(
+                        [d, jnp.zeros((T - int(d.shape[0]), H, W), d.dtype)],
+                        axis=0,
+                    )
+                    for d in dev_thermals
+                ]
+            )
+        else:
+            T = max(int(c._thermal_np.shape[0]) for c in ctxs)
+            thermal_all = np.zeros((B, T, H, W), np.uint16)
+            for ci, ctx in enumerate(ctxs):
+                t = int(ctx._thermal_np.shape[0])
+                thermal_all[ci, :t] = np.asarray(ctx._thermal_np, np.uint16)
         medians_all = np.zeros((B, T), np.float32)
         fil = []
         for ci, ctx in enumerate(ctxs):

@@ -59,8 +59,10 @@ def model_score(cm, labels):
     if cm.shape[0] < n:
         cm = np.pad(cm, ((0, n - cm.shape[0]), (0, n - cm.shape[1])))
     row_sums = cm.sum(axis=1, keepdims=True)
-    norm = np.around(np.divide(cm, row_sums, where=row_sums > 0), 2)
-    norm = np.nan_to_num(norm)
+    # out= matters: where= without out leaves zero-count rows uninitialized
+    norm = np.around(
+        np.divide(cm, row_sums, out=np.zeros_like(cm), where=row_sums > 0), 2
+    )
     fp_i = labels.index("false-positive") if "false-positive" in labels else None
     none_i = labels.index("None") if "None" in labels else None
     unid_i = labels.index("unidentified") if "unidentified" in labels else None
@@ -68,8 +70,8 @@ def model_score(cm, labels):
     for li, label in enumerate(labels):
         acc = norm[li, li]
         fp_acc = norm[li, fp_i] if fp_i is not None else 0
-        none_acc = norm[li, none_i] if none_i else 0
-        unid_acc = norm[li, unid_i] if unid_i else 0
+        none_acc = norm[li, none_i] if none_i is not None else 0
+        unid_acc = norm[li, unid_i] if unid_i is not None else 0
         other = 1 - (fp_acc + none_acc + unid_acc + acc)
         if norm[li].sum() == 0:
             other = 0
@@ -172,28 +174,55 @@ def evaluate_dir(model_file, dir_path, threshold=0.5):
         except (json.JSONDecodeError, OSError):
             continue
         tracks = meta.get("Tracks") or meta.get("tracks") or []
-        tags = [_human_tag(t) for t in tracks]
-        if any(t is not None for t in tags):
+        tagged = [
+            (t, _human_tag(t)) for t in tracks if _human_tag(t) is not None
+        ]
+        if tagged:
             files.append(cptv)
-            truths.append(tags)
+            truths.append(tagged)
     if not files:
         raise SystemExit(f"no human-tagged CPTV files under {dir_path}")
     model = ModelConfig(id=1, name="eval", model_file=str(model_file))
     classifier = ClipClassifier(Config({}), model=model)
     metas = classifier.process_batch(files)
     y_true, y_pred = [], []
-    for meta, tags in zip(metas, truths):
-        by_pos = {i: t for i, t in enumerate(tags) if t is not None}
-        for i, track in enumerate(meta["tracks"]):
-            if i not in by_pos:
+    for meta, tagged in zip(metas, truths):
+        # re-extracted tracks need not agree with the sidecar's in count or
+        # order: match each tagged sidecar track to the closest fresh track
+        # by start frame + first-box centre distance (the tracking-tests
+        # matcher's criterion), greedily, unmatched -> skipped
+        fresh = list(meta["tracks"])
+        used = set()
+        for t_meta, tag in tagged:
+            best_i, best_cost = None, None
+            s_pos = (t_meta.get("positions") or [None])[0]
+            s_start = t_meta.get("frame_start", t_meta.get("start_frame", 0))
+            for i, ft in enumerate(fresh):
+                if i in used:
+                    continue
+                f_pos = (ft.get("positions") or [None])[0]
+                f_start = ft.get("frame_start", 0)
+                cost = abs(int(f_start) - int(s_start)) * 2.0
+                if s_pos and f_pos:
+                    sx = s_pos["x"] + s_pos["width"] / 2
+                    sy = s_pos["y"] + s_pos["height"] / 2
+                    fx = f_pos["x"] + f_pos["width"] / 2
+                    fy = f_pos["y"] + f_pos["height"] / 2
+                    cost += ((sx - fx) ** 2 + (sy - fy) ** 2) ** 0.5
+                if best_cost is None or cost < best_cost:
+                    best_i, best_cost = i, cost
+            if best_i is None or best_cost > 100:
+                y_true.append(tag)
+                y_pred.append("None")  # tagged animal not re-found
                 continue
-            y_true.append(by_pos[i])
-            preds = track.get("predictions") or []
+            used.add(best_i)
+            y_true.append(tag)
+            preds = fresh[best_i].get("predictions") or []
             if preds and preds[0].get("confidence", 0) >= threshold:
-                tag = preds[0].get("tag") or "None"
+                ptag = preds[0].get("tag") or "None"
             else:
-                tag = "None"
-            y_pred.append(_REMAP.get(tag, tag))
+                ptag = "None"
+            y_pred.append(_REMAP.get(ptag, ptag))
     return _tally(y_true, y_pred)
 
 

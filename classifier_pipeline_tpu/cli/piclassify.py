@@ -115,6 +115,7 @@ def handle_connection(conn, config, thermal_config, args):
     frame_size = headers.frame_size + camera.get_telemetry_size() \
         if not headers.frame_size else headers.frame_size
     process_queue: queue.Queue = queue.Queue()
+    dead = threading.Event()  # set when the classifier cannot be rebuilt
 
     def classifier_loop():
         # crash-resilient: the reference's camera reader restarts a dead
@@ -126,6 +127,8 @@ def handle_connection(conn, config, thermal_config, args):
             item = process_queue.get()
             if item is None:
                 break
+            if dead.is_set():
+                continue  # drain without processing; producer will stop
             frame, received = item
             try:
                 pi.process_frame(frame, received)
@@ -143,8 +146,8 @@ def handle_connection(conn, config, thermal_config, args):
                         seed=args.seed,
                     )
                 except Exception:
-                    logging.exception("classifier restart failed; exiting")
-                    break
+                    logging.exception("classifier restart failed")
+                    dead.set()  # producer exits; keep draining the queue
 
     worker = threading.Thread(target=classifier_loop, daemon=True)
     worker.start()
@@ -152,6 +155,8 @@ def handle_connection(conn, config, thermal_config, args):
     dropped = 0
     try:
         while True:
+            if dead.is_set():
+                raise ConnectionError("classifier unrecoverable")
             buf = left_over  # handshake leftovers prefix the first frame
             left_over = b""
             while len(buf) < frame_size:
@@ -178,7 +183,12 @@ def handle_connection(conn, config, thermal_config, args):
     finally:
         process_queue.put(None)
         worker.join(timeout=30)
-        pi.disconnected()
+        try:
+            pi.disconnected()
+        except Exception:
+            # don't mask the original error with a teardown failure on an
+            # already-broken pipeline
+            logging.exception("disconnect cleanup failed")
 
 
 def main(argv=None):

@@ -52,6 +52,7 @@ def main(argv=None):
         res = Trainer.benchmark(
             args.model_name, batch_size=args.batch_size,
             n_steps=args.benchmark, hyperparams=hp,
+            mixed_precision=args.mixed_precision,
         )
         print(json.dumps({k: round(v, 2) for k, v in res.items()}))
         return 0

@@ -128,13 +128,17 @@ class ClipTrackExtractor:
             max_track_slots=tracking.get("max_track_slots", 24),
             max_region_slots=tracking.get("max_region_slots", 16),
             emit_filtered=self.emit_filtered,
+            thumb_stats=tracking.get("thumb_stats", True),
             # masks only leave the device when a caller needs them (debug
-            # previews, CPTPU_HOST_THUMBS validation); thumbnails use the
-            # scan's per-row component stats
+            # previews, host-side thumbnail computation); by default
+            # thumbnails use the scan's per-row component stats
             emit_mask=self.emit_mask
             or (
                 self.calculate_thumbnails
-                and os.environ.get("CPTPU_HOST_THUMBS", "0") == "1"
+                and (
+                    not tracking.get("thumb_stats", True)
+                    or os.environ.get("CPTPU_HOST_THUMBS", "0") == "1"
+                )
             ),
         )
 
@@ -281,6 +285,7 @@ class ClipTrackExtractor:
             self._add_thumbnails(
                 meta, thermal, rows, good, th,
                 medians=getattr(carry, "frame_medians", None),
+                thumb_stats=params.thumb_stats,
             )
         tracking_time = time.time() - start
         meta["source"] = str(path)
@@ -300,7 +305,8 @@ class ClipTrackExtractor:
             background=np.asarray(carry.background),
         )
 
-    def _add_thumbnails(self, meta, thermal, rows, tracks, th, medians=None):
+    def _add_thumbnails(self, meta, thermal, rows, tracks, th, medians=None,
+                        thumb_stats=True):
         """reference trackextractor.get_metadata:205-230 thumbnail wiring.
 
         Default path: the scan's device-computed per-row component stats
@@ -312,9 +318,11 @@ class ClipTrackExtractor:
 
         if medians is None:
             medians = thumbnail.frame_medians(thermal) if tracks else None
+        # gate on whether the scan actually computed stats (thumb_stats
+        # False emits all-zero rows, which must fall back to the mask path)
         use_rows = (
-            os.environ.get("CPTPU_HOST_THUMBS", "0") != "1"
-            and getattr(rows, "contours", None) is not None
+            thumb_stats
+            and os.environ.get("CPTPU_HOST_THUMBS", "0") != "1"
         )
         if use_rows:
             for i, track in enumerate(tracks):
