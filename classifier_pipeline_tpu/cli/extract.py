@@ -63,7 +63,7 @@ def process_one(args):
 
         mp4 = (out or Path(path)).with_suffix("")
         mp4 = mp4.parent / f"{mp4.name}-tracking.mp4"
-        thermal = res.clip.pixels[~res.clip.is_background]
+        thermal = res.clip.foreground_pixels
         extra = {}
         if debug_preview and res.rows is not None:
             import numpy as _np

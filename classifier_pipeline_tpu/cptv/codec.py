@@ -227,6 +227,24 @@ class CptvClip:
     def n_frames(self) -> int:
         return self.pixels.shape[0]
 
+    def foreground(self):
+        """(pixels, meta) excluding background frames. Returns VIEWS when
+        the background frames form a leading prefix (the normal layout — a
+        CPTV's background frame is frame 0), avoiding a (T, H, W) copy on
+        every access; falls back to fancy indexing otherwise."""
+        bg = self.is_background
+        nbg = int(bg.sum())
+        if nbg == 0:
+            return self.pixels, self._meta
+        if bg[:nbg].all():  # contiguous leading background frames
+            return self.pixels[nbg:], self._meta[nbg:]
+        keep = ~bg
+        return self.pixels[keep], self._meta[keep]
+
+    @property
+    def foreground_pixels(self) -> np.ndarray:
+        return self.foreground()[0]
+
     @property
     def time_on_ms(self) -> np.ndarray:
         return self._meta[:, 0]

@@ -53,7 +53,7 @@ class ClipClassifier:
         )
         result = extractor.extract(filename)
 
-        thermal = result.clip.pixels[~result.clip.is_background]
+        thermal = result.clip.foreground_pixels
         # rows.filtered stays on device; ClipContext consumes it there
         ctx = ClipContext(thermal, result.rows.filtered, self._ffc_frames(result))
 
@@ -184,7 +184,7 @@ class ClipClassifier:
             results = extractor.collect_batch(handle)
             ctxs = []
             for res in results:
-                thermal = res.clip.pixels[~res.clip.is_background]
+                thermal = res.clip.foreground_pixels
                 # reuse the scan's device-resident group arrays + medians
                 ctx = ClipContext(
                     thermal, res.rows.filtered, self._ffc_frames(res),

@@ -152,16 +152,16 @@ class ClipTrackExtractor:
         camera_model = header.model or None
         params = self.params_for(camera_model)
         pixels = clip.pixels
-        is_bg = clip.is_background
         # frames processed by the tracker (reference skips the embedded
-        # background frame unless process_background)
+        # background frame unless process_background). foreground() returns
+        # a VIEW in the normal leading-background layout — these pixel
+        # blocks are ~100MB per chunk and the host has one core.
         if not process_background:
-            proc_mask = ~is_bg
+            thermal, meta = clip.foreground()
         else:
-            proc_mask = np.ones(clip.n_frames, bool)
-        thermal = pixels[proc_mask]
-        time_on = clip.time_on_ms[proc_mask].astype(np.int64)
-        last_ffc = clip.last_ffc_ms[proc_mask].astype(np.int64)
+            thermal, meta = pixels, clip._meta
+        time_on = meta[:, 0].astype(np.int64)
+        last_ffc = meta[:, 1].astype(np.int64)
         ffc = (time_on - last_ffc) < FFC_PERIOD_MS_QUIRK
         background = pixels[0]  # reference init uses the reader's first frame
         return clip, camera_model, params, thermal, ffc, background, clip_id

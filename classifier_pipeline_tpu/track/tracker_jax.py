@@ -1051,8 +1051,8 @@ def _pad_clip_batch(thermals, ffcs, params, backgrounds=None, bucket=32):
     carries = []
     for i, thermal in enumerate(thermals):
         t = thermal.shape[0]
-        th[i, :t] = thermal.astype(np.uint16)
-        th[i, t:] = thermal[-1].astype(np.uint16)
+        th[i, :t] = thermal  # assignment casts in place; no temp copy
+        th[i, t:] = thermal[-1]
         ffc_pad[i, :t] = ffcs[i]
         bg = backgrounds[i] if backgrounds is not None else thermal[0]
         carries.append(init_carry(params, bg))
