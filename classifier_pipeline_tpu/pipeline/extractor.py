@@ -201,13 +201,18 @@ class ClipTrackExtractor:
         for i, pre in enumerate(prepped):
             tb = tracker_jax._round_up(max(pre[3].shape[0], 1), 32)
             by_key.setdefault((pre[2], tb), []).append(i)
-        # subgroup cap: one scan program's NL-means pallas kernel packs clip
-        # pairs into VMEM-resident lane tiles; past 32 clips the compiler's
-        # scoped-VMEM budget overflows (measured on v5e), and smaller
-        # programs pipeline better anyway
-        max_sub = 32
         handles = []
-        for (params, _tb), idxs in by_key.items():
+        for (params, tb), idxs in by_key.items():
+            # subgroup cap: (a) one scan program's NL-means pallas kernel
+            # packs clip pairs into VMEM-resident lane tiles; past 32 clips
+            # the compiler's scoped-VMEM budget overflows (measured on v5e);
+            # (b) long clips are capped so the group's device residency
+            # (thermal u16 + emitted filtered f32 + working set) stays well
+            # under HBM — a 10-minute clip at B=32 would need >13GB for the
+            # filtered emission alone
+            px = params.res_x * params.res_y
+            bytes_per_clip = tb * px * (2 + (4 if params.emit_filtered else 0)) + tb * px // 2
+            max_sub = max(1, min(32, int(6e9 // max(bytes_per_clip, 1))))
             pos = 0
             while pos < len(idxs):
                 n = len(idxs) - pos
