@@ -174,12 +174,19 @@ class ClipClassifier:
         # dispatch every chunk's upload + scan before any blocking fetch
         handles = [extractor.scan_batch(g) for g in groups]
 
-        # per chunk: block on its scan, assemble tracks on host (overlapping
-        # the next chunk's device compute), classify, merge metadata. Note:
-        # deferring the prediction fetches to a second phase was measured
-        # SLOWER (380 vs 467 fps) — fetching chunk k's predictions here
-        # already overlaps chunk k+1's scan on the device.
-        metas = []
+        # Phase B: per chunk — block on its (prefetched) scan, assemble
+        # tracks on host, DISPATCH its classify; the classify outputs start
+        # background fetches immediately, so phase C's collection never
+        # leaves the device idle. (Before worker-thread prefetch existed,
+        # deferring the prediction fetches measured slower — with prefetch,
+        # deferral wins: chunk k's classify compute overlaps chunk k+1's
+        # assembly AND its own result transfer.)
+        from classifier_pipeline_tpu.classify.interpreter import (
+            classify_clip_batch_collect,
+            classify_clip_batch_dispatch,
+        )
+
+        chunk_results = []
         for handle in handles:
             results = extractor.collect_batch(handle)
             ctxs = []
@@ -193,14 +200,25 @@ class ClipClassifier:
                 )
                 ctx.thermal_dev16 = res.thermal_dev16
                 ctxs.append(ctx)
-            all_preds = {}
+            pred_handles = {}
             for model in self.models:
                 interpreter = self.get_classifier(model)
-                per_clip = classify_clip_batch(
-                    interpreter, ctxs, [res.tracks for res in results],
-                    min_segments=1,
+                pred_handles[model.id] = (
+                    interpreter,
+                    classify_clip_batch_dispatch(
+                        interpreter, ctxs, [res.tracks for res in results],
+                        min_segments=1,
+                    ),
                 )
-                all_preds[model.id] = (interpreter, per_clip)
+            chunk_results.append((results, pred_handles))
+
+        # Phase C: collect predictions and merge metadata per chunk
+        metas = []
+        for results, pred_handles in chunk_results:
+            all_preds = {
+                mid: (interp, classify_clip_batch_collect(h))
+                for mid, (interp, h) in pred_handles.items()
+            }
             for ci, res in enumerate(results):
                 meta = res.metadata
                 for i, track in enumerate(res.tracks):
