@@ -171,7 +171,9 @@ class ClipClassifier:
         # split into near-equal chunks, preserving order
         bounds = np.linspace(0, len(paths), chunks + 1).astype(int)
         groups = [paths[a:b] for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
-        # dispatch every chunk's upload + scan before any blocking fetch
+        # dispatch every chunk's upload + scan before any blocking fetch.
+        # (Dispatching from a background thread was measured SLOWER on the
+        # single-core host: the decode steals the core from assembly.)
         handles = [extractor.scan_batch(g) for g in groups]
 
         # Phase B: per chunk — block on its (prefetched) scan, assemble
