@@ -70,6 +70,30 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def shard_device_group(group, mesh: Mesh):
+    """Reshard a scan group's device arrays over the mesh's 'data' axis so
+    the fused classification jit runs SPMD: each chip holds its shard of the
+    clip batch; XLA inserts the (tiny) collectives for jobs whose lane lives
+    on another chip. Returns a new DeviceGroup; the original is untouched.
+
+    This is the multi-chip classification story matching the sharded scan
+    (track_clips_batch_sharded): clips are data-parallel end to end."""
+    from classifier_pipeline_tpu.track.tracker_jax import DeviceGroup
+
+    th = jax.device_put(
+        group.thermal, NamedSharding(mesh, P("data", None, None, None))
+    )
+    fil = jax.device_put(
+        group.filtered, NamedSharding(mesh, P(None, "data", None, None))
+    )
+    med = (
+        None
+        if group.medians is None
+        else jax.device_put(group.medians, NamedSharding(mesh, P("data", None)))
+    )
+    return DeviceGroup(th, fil, med)
+
+
 def track_clips_batch_sharded(thermals, ffcs, params, mesh,
                               backgrounds=None, bucket=32):
     """Fleet-scale batch extraction: shard a clip batch over the mesh's

@@ -117,3 +117,79 @@ def test_sharded_batch_matches_single_device(possum_cptv):
         np.testing.assert_allclose(
             np.asarray(r1.variance), np.asarray(r2.variance), rtol=1e-5
         )
+
+
+def test_sharded_classify_matches_single_device(possum_cptv, tmp_path_factory):
+    """SPMD classification: resharding a scan group's device arrays over the
+    data axis and running the SAME fused classify jit yields identical
+    predictions (XLA partitions the program; lane gathers ride collectives)."""
+    import jax
+    import numpy as np
+    import pytest
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual CPU mesh")
+
+    from classifier_pipeline_tpu.classify.interpreter import (
+        ClipContext,
+        classify_clip_batch,
+    )
+    from classifier_pipeline_tpu.config.config import Config, ModelConfig
+    from classifier_pipeline_tpu.models.artifacts import create_model
+    from classifier_pipeline_tpu.parallel.sharding import (
+        make_mesh,
+        shard_device_group,
+    )
+    from classifier_pipeline_tpu.pipeline.clipclassifier import ClipClassifier
+    from classifier_pipeline_tpu.pipeline.extractor import ClipTrackExtractor
+
+    prefix = tmp_path_factory.mktemp("model") / "m"
+    create_model(prefix, model_name="simple-cnn")
+    model = ModelConfig(id=1, name="t", model_file=str(prefix) + ".json")
+    cc = ClipClassifier(Config({}), model=model, seed=3)
+    interp = cc.get_classifier(model)
+
+    ex = ClipTrackExtractor(config=Config({}).raw, keep_rows=True,
+                            emit_filtered=True)
+    paths = [possum_cptv] * 8
+    results = ex.collect_batch(ex.scan_batch(paths))
+
+    def ctxs_for(group_map=None):
+        ctxs = []
+        for res in results:
+            group = res.device_group
+            if group_map is not None:
+                group = group_map(group)
+            ctx = ClipContext(
+                res.clip.foreground_pixels, res.rows.filtered,
+                cc._ffc_frames(res), medians=res.frame_medians,
+                device_group=group, lane=res.lane,
+            )
+            ctxs.append(ctx)
+        return ctxs
+
+    track_lists = [res.tracks for res in results]
+    np.random.seed(5)
+    single = classify_clip_batch(interp, ctxs_for(), track_lists, 1)
+
+    mesh = make_mesh(8)
+    cache = {}
+
+    def reshard(group):
+        if id(group) not in cache:
+            cache[id(group)] = shard_device_group(group, mesh)
+        return cache[id(group)]
+
+    np.random.seed(5)
+    with mesh:
+        sharded = classify_clip_batch(interp, ctxs_for(reshard), track_lists, 1)
+
+    for s_map, d_map in zip(single, sharded):
+        assert s_map.keys() == d_map.keys()
+        for tid in s_map:
+            a = [p.prediction for p in s_map[tid].predictions]
+            b = [p.prediction for p in d_map[tid].predictions]
+            np.testing.assert_allclose(
+                np.asarray(a, np.float64), np.asarray(b, np.float64),
+                atol=1e-4,
+            )
