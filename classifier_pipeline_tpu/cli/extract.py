@@ -22,8 +22,15 @@ from classifier_pipeline_tpu.utils.logs import init_logging
 from classifier_pipeline_tpu.utils.tools import enable_compile_cache
 
 
+IR_SUFFIXES = (".mp4", ".avi")
+
+
 def process_one(args):
     path, config_raw, out_dir, to_stdout, preview, retrack = args
+    if Path(path).suffix.lower() in IR_SUFFIXES:
+        # reference picks the extractor by extension
+        # (trackextractor.py:137-158): video files go through the IR tracker
+        return _process_ir(path, config_raw, out_dir, to_stdout)
     # the 4-up tracking debug view needs the filtered channel + masks
     debug_preview = preview == "tracking"
     ex = ClipTrackExtractor(
@@ -83,6 +90,29 @@ def process_one(args):
     )
 
 
+def _process_ir(path, config_raw, out_dir, to_stdout):
+    from classifier_pipeline_tpu.pipeline.ir_extractor import IRTrackExtractor
+
+    ir_cfg = (config_raw or {}).get("tracking", {}).get("IR", {})
+    ex = IRTrackExtractor(
+        config=config_raw,
+        scale=ir_cfg.get("scale", 0.25),
+        trap_size=ir_cfg.get("trap_size", "L"),
+    )
+    meta, good, _filtered = ex.extract(path)
+    if to_stdout:
+        print(json.dumps(meta, default=str))
+    else:
+        out = Path(path).with_suffix(".txt")
+        if out_dir:
+            out = Path(out_dir) / out.name
+            out.parent.mkdir(parents=True, exist_ok=True)
+        from classifier_pipeline_tpu.pipeline.extractor import _json_default
+
+        out.write_text(json.dumps(meta, indent=4, default=_json_default))
+    return (str(path), len(good), 0, meta.get("tracking_time", 0.0))
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="TPU-native track extraction")
     parser.add_argument("target", help="a CPTV file or directory")
@@ -117,11 +147,15 @@ def main(argv=None):
 
     target = Path(args.target)
     if target.is_dir():
-        files = sorted(target.rglob("*.cptv"))
+        files = sorted(
+            f
+            for f in target.rglob("*")
+            if f.suffix.lower() in (".cptv",) + IR_SUFFIXES
+        )
     else:
         files = [target]
     if not files:
-        logging.error("no cptv files under %s", target)
+        logging.error("no cptv/mp4/avi files under %s", target)
         return 1
 
     start = time.time()
