@@ -752,7 +752,7 @@ def classify_clip_batch_dispatch(interpreter, ctxs, track_lists, min_segments=1)
             diff_norm=bool(interpreter.params.diff_norm),
         )
         batches.append((jobs, tracker_jax.fetch_async(out)))
-    return (interpreter, batches, results, start)
+    return (interpreter, batches, results, time.time() - start)
 
 
 def _pack_jobs(interpreter, ctxs, jobs, lane_of):
@@ -795,11 +795,15 @@ def _pack_jobs(interpreter, ctxs, jobs, lane_of):
 def classify_clip_batch_collect(handle):
     """Fetch predictions of a dispatched classify batch and assemble
     TrackPredictions (blocks on the device results)."""
-    interpreter, batches, results, start = handle
+    interpreter, batches, results, dispatch_elapsed = handle
     if not batches:
         return results
+    # classify_time: dispatch-side host time + the result fetch wait, NOT
+    # wall time since dispatch (collection may be deferred past other
+    # chunks' host work in the pipelined batch path)
+    t_fetch = time.time()
     outs = [fut.result() for _, fut in batches]
-    elapsed = time.time() - start
+    elapsed = dispatch_elapsed + (time.time() - t_fetch)
     total = sum(len(gjobs) for gjobs, _ in batches)
     for (gjobs, _), out in zip(batches, outs):
         for i, (ci, track, segments, tensors) in enumerate(gjobs):

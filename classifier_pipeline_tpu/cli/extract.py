@@ -25,12 +25,37 @@ from classifier_pipeline_tpu.utils.tools import enable_compile_cache
 IR_SUFFIXES = (".mp4", ".avi")
 
 
+def _merge_sidecar(path, meta, retrack):
+    """reference behavior (trackextractor.py:164-166, get_metadata:237-246):
+    whenever a .txt sidecar exists its metadata is merged into the output
+    (old tracks dropped, new metadata wins key conflicts). --retrack
+    additionally seeds the clip id from the sidecar (clip.load_metadata,
+    trackextractor.py:168-171)."""
+    sidecar = Path(path).with_suffix(".txt")
+    if not sidecar.exists():
+        return meta
+    try:
+        existing = json.loads(sidecar.read_text())
+    except (json.JSONDecodeError, OSError):
+        return meta
+    if not isinstance(existing, dict):
+        return meta
+    existing.pop("tracks", None)
+    existing.pop("Tracks", None)
+    new_meta = dict(meta)
+    if retrack and "id" in existing:
+        new_meta.pop("id", None)
+    existing.update(new_meta)
+    return existing
+
+
 def process_one(args):
     path, config_raw, out_dir, to_stdout, preview, retrack = args
     if Path(path).suffix.lower() in IR_SUFFIXES:
         # reference picks the extractor by extension
         # (trackextractor.py:137-158): video files go through the IR tracker
-        return _process_ir(path, config_raw, out_dir, to_stdout)
+        return _process_ir(path, config_raw, out_dir, to_stdout, preview,
+                           retrack)
     # the 4-up tracking debug view needs the filtered channel + masks
     debug_preview = preview == "tracking"
     ex = ClipTrackExtractor(
@@ -38,25 +63,7 @@ def process_one(args):
         emit_filtered=debug_preview, emit_mask=debug_preview,
     )
     res = ex.extract(path)
-    # reference behavior (trackextractor.py:164-166, get_metadata:237-246):
-    # whenever a .txt sidecar exists its metadata is merged into the output
-    # (old tracks dropped, new metadata wins key conflicts). --retrack
-    # additionally seeds the clip id from the sidecar (clip.load_metadata,
-    # trackextractor.py:168-171).
-    sidecar = Path(path).with_suffix(".txt")
-    if sidecar.exists():
-        try:
-            existing = json.loads(sidecar.read_text())
-        except (json.JSONDecodeError, OSError):
-            existing = None
-        if isinstance(existing, dict):
-            existing.pop("tracks", None)
-            existing.pop("Tracks", None)
-            new_meta = dict(res.metadata)
-            if retrack and "id" in existing:
-                new_meta.pop("id", None)
-            existing.update(new_meta)
-            res.metadata = existing
+    res.metadata = _merge_sidecar(path, res.metadata, retrack)
     if to_stdout:
         print(json.dumps(res.metadata, default=str))
     else:
@@ -90,9 +97,12 @@ def process_one(args):
     )
 
 
-def _process_ir(path, config_raw, out_dir, to_stdout):
+def _process_ir(path, config_raw, out_dir, to_stdout, preview="none",
+                retrack=False):
     from classifier_pipeline_tpu.pipeline.ir_extractor import IRTrackExtractor
 
+    if preview and preview != "none":
+        logging.warning("previews are not yet supported for IR video (%s)", path)
     ir_cfg = (config_raw or {}).get("tracking", {}).get("IR", {})
     ex = IRTrackExtractor(
         config=config_raw,
@@ -100,6 +110,8 @@ def _process_ir(path, config_raw, out_dir, to_stdout):
         trap_size=ir_cfg.get("trap_size", "L"),
     )
     meta, good, _filtered = ex.extract(path)
+    n_frames = int(meta.get("num_frames", 0))
+    meta = _merge_sidecar(path, meta, retrack)
     if to_stdout:
         print(json.dumps(meta, default=str))
     else:
@@ -110,7 +122,7 @@ def _process_ir(path, config_raw, out_dir, to_stdout):
         from classifier_pipeline_tpu.pipeline.extractor import _json_default
 
         out.write_text(json.dumps(meta, indent=4, default=_json_default))
-    return (str(path), len(good), 0, meta.get("tracking_time", 0.0))
+    return (str(path), len(good), n_frames, meta.get("tracking_time", 0.0))
 
 
 def main(argv=None):
@@ -151,6 +163,8 @@ def main(argv=None):
             f
             for f in target.rglob("*")
             if f.suffix.lower() in (".cptv",) + IR_SUFFIXES
+            # skip this CLI's own debug-preview outputs
+            and not f.stem.endswith("-tracking")
         )
     else:
         files = [target]

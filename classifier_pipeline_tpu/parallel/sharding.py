@@ -78,18 +78,34 @@ def shard_device_group(group, mesh: Mesh):
 
     This is the multi-chip classification story matching the sharded scan
     (track_clips_batch_sharded): clips are data-parallel end to end."""
+    import jax.numpy as jnp
+
     from classifier_pipeline_tpu.track.tracker_jax import DeviceGroup
 
+    n_data = mesh.devices.shape[0]
+    B = int(group.thermal.shape[0])
+    pad = (-B) % n_data  # lane axis must divide the data axis; padding
+    # lanes are never referenced by any job's lane index
+
+    def padded(a, axis):
+        if pad == 0:
+            return a
+        shape = list(a.shape)
+        shape[axis] = pad
+        return jnp.concatenate([a, jnp.zeros(shape, a.dtype)], axis=axis)
+
     th = jax.device_put(
-        group.thermal, NamedSharding(mesh, P("data", None, None, None))
+        padded(group.thermal, 0), NamedSharding(mesh, P("data", None, None, None))
     )
     fil = jax.device_put(
-        group.filtered, NamedSharding(mesh, P(None, "data", None, None))
+        padded(group.filtered, 1), NamedSharding(mesh, P(None, "data", None, None))
     )
     med = (
         None
         if group.medians is None
-        else jax.device_put(group.medians, NamedSharding(mesh, P("data", None)))
+        else jax.device_put(
+            padded(group.medians, 0), NamedSharding(mesh, P("data", None))
+        )
     )
     return DeviceGroup(th, fil, med)
 

@@ -158,7 +158,8 @@ class ClipClassifier:
         the tunnel while the first scan runs.
         """
         from classifier_pipeline_tpu.classify.interpreter import (
-            classify_clip_batch,
+            classify_clip_batch_collect,
+            classify_clip_batch_dispatch,
         )
 
         if chunks is None:
@@ -182,12 +183,9 @@ class ClipClassifier:
         # leaves the device idle. (Before worker-thread prefetch existed,
         # deferring the prediction fetches measured slower — with prefetch,
         # deferral wins: chunk k's classify compute overlaps chunk k+1's
-        # assembly AND its own result transfer.)
-        from classifier_pipeline_tpu.classify.interpreter import (
-            classify_clip_batch_collect,
-            classify_clip_batch_dispatch,
-        )
-
+        # assembly AND its own result transfer.) Only metadata/track ids are
+        # retained per chunk — holding whole ExtractResults would keep every
+        # chunk's pixel blocks and device groups alive until return.
         chunk_results = []
         for handle in handles:
             results = extractor.collect_batch(handle)
@@ -212,21 +210,27 @@ class ClipClassifier:
                         min_segments=1,
                     ),
                 )
-            chunk_results.append((results, pred_handles))
+            chunk_results.append(
+                (
+                    [res.metadata for res in results],
+                    [[t.track_id for t in res.tracks] for res in results],
+                    pred_handles,
+                )
+            )
+            del results, ctxs  # release pixels/rows/groups with the chunk
 
         # Phase C: collect predictions and merge metadata per chunk
         metas = []
-        for results, pred_handles in chunk_results:
+        for chunk_metas, chunk_track_ids, pred_handles in chunk_results:
             all_preds = {
                 mid: (interp, classify_clip_batch_collect(h))
                 for mid, (interp, h) in pred_handles.items()
             }
-            for ci, res in enumerate(results):
-                meta = res.metadata
-                for i, track in enumerate(res.tracks):
+            for ci, meta in enumerate(chunk_metas):
+                for i, track_id in enumerate(chunk_track_ids[ci]):
                     pred_info = []
                     for model_id, (interpreter, per_clip) in all_preds.items():
-                        tp = per_clip[ci].get(track.track_id)
+                        tp = per_clip[ci].get(track_id)
                         if tp is None:
                             continue
                         pm = tp.get_metadata(interpreter.thresholds)

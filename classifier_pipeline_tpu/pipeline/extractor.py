@@ -173,7 +173,7 @@ class ClipTrackExtractor:
         match)."""
         start = time.time()
         if not paths:
-            return ([], [], [], start)
+            return ([], [], [], [], start)
         # decode clips in parallel: the native CPTV decoder runs under ctypes,
         # which drops the GIL for the duration of the C call. Clip ids are
         # assigned up front so threading can't reorder them.
@@ -201,7 +201,8 @@ class ClipTrackExtractor:
         for i, pre in enumerate(prepped):
             tb = tracker_jax._round_up(max(pre[3].shape[0], 1), 32)
             by_key.setdefault((pre[2], tb), []).append(i)
-        handles = []
+        subgroups = []  # (params, sub indices, group device bytes)
+        total_bytes = 0
         for (params, tb), idxs in by_key.items():
             # subgroup cap: (a) one scan program's NL-means pallas kernel
             # packs clip pairs into VMEM-resident lane tiles; past 32 clips
@@ -209,10 +210,12 @@ class ClipTrackExtractor:
             # (b) long clips are capped so the group's device residency
             # (thermal u16 + emitted filtered f32 + working set) stays well
             # under HBM — a 10-minute clip at B=32 would need >13GB for the
-            # filtered emission alone
+            # filtered emission alone. The cap is floored to a power of two
+            # so compiled (B, T) shapes stay few.
             px = params.res_x * params.res_y
             bytes_per_clip = tb * px * (2 + (4 if params.emit_filtered else 0)) + tb * px // 2
-            max_sub = max(1, min(32, int(6e9 // max(bytes_per_clip, 1))))
+            cap = max(1, min(32, int(6e9 // max(bytes_per_clip, 1))))
+            max_sub = 1 << (cap.bit_length() - 1)  # power-of-two floor
             pos = 0
             while pos < len(idxs):
                 n = len(idxs) - pos
@@ -220,26 +223,66 @@ class ClipTrackExtractor:
                 size = min(size, max_sub)
                 sub = idxs[pos : pos + size]
                 pos += size
-                batch = [prepped[i] for i in sub]
-                handles.append(
+                subgroups.append((params, sub, size * bytes_per_clip))
+                total_bytes += size * bytes_per_clip
+
+        def dispatch_one(params, sub):
+            batch = [prepped[i] for i in sub]
+            return (
+                sub,
+                tracker_jax.track_clips_batch_dispatch(
+                    [b[3] for b in batch],
+                    [b[4] for b in batch],
+                    params,
+                    backgrounds=[b[5] for b in batch],
+                ),
+            )
+
+        # Dispatch everything up front while the BATCH total fits the device
+        # budget; otherwise dispatch in waves — collect_batch launches the
+        # next subgroup as each one completes, bounding live residency.
+        handles = []
+        pending = []
+        budget = 8e9
+        if total_bytes <= budget:
+            handles = [dispatch_one(p, s) for p, s, _ in subgroups]
+        else:
+            live = 0.0
+            for p, s, b in subgroups:
+                if live + b <= budget or not handles:
+                    handles.append(dispatch_one(p, s))
+                    live += b
+                else:
+                    pending.append((p, s, b))
+        return (paths, prepped, handles, pending, start)
+
+    def collect_batch(self, scan_handle) -> list:
+        """Block on a dispatched batch scan and assemble ExtractResults.
+        Launches residency-deferred subgroups (huge batches) as earlier ones
+        complete."""
+        paths, prepped, handles, pending, start = scan_handle
+        pending = list(pending)
+        results: list = [None] * len(paths)
+        queue = list(handles)
+        while queue:
+            idxs, handle = queue.pop(0)
+            scans = tracker_jax.track_clips_batch_collect(handle)
+            if pending:
+                # previous subgroup's big device buffers are fetched; start
+                # the next wave
+                p, s, _b = pending.pop(0)
+                batch = [prepped[i] for i in s]
+                queue.append(
                     (
-                        sub,
+                        s,
                         tracker_jax.track_clips_batch_dispatch(
                             [b[3] for b in batch],
                             [b[4] for b in batch],
-                            params,
+                            p,
                             backgrounds=[b[5] for b in batch],
                         ),
                     )
                 )
-        return (paths, prepped, handles, start)
-
-    def collect_batch(self, scan_handle) -> list:
-        """Block on a dispatched batch scan and assemble ExtractResults."""
-        paths, prepped, handles, start = scan_handle
-        results: list = [None] * len(paths)
-        for idxs, handle in handles:
-            scans = tracker_jax.track_clips_batch_collect(handle)
             for i, (rows, carry) in zip(idxs, scans):
                 clip, camera_model, params_i, thermal, ffc, _, clip_id = prepped[i]
                 results[i] = self._finalize(

@@ -172,6 +172,7 @@ class IRTrackExtractor:
         meta = {
             "camera_model": "IR",
             "background_thresh": 12,
+            "num_frames": int(T),
             "id": self._clip_id,
             "tracks": [t.get_metadata(f"IR-{IR_VERSION}") for t in good],
             "source": str(path),

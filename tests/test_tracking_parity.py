@@ -151,7 +151,9 @@ def test_sharded_classify_matches_single_device(possum_cptv, tmp_path_factory):
 
     ex = ClipTrackExtractor(config=Config({}).raw, keep_rows=True,
                             emit_filtered=True)
-    paths = [possum_cptv] * 8
+    # 5 clips -> subgroups of 4 + 1: the 1-clip group exercises the
+    # pad-to-data-axis path in shard_device_group
+    paths = [possum_cptv] * 5
     results = ex.collect_batch(ex.scan_batch(paths))
 
     def ctxs_for(group_map=None):
