@@ -67,3 +67,22 @@ def test_process_batch_chunked_matches_unchunked(classifier):
             assert _strip_times(ta["predictions"]) == _strip_times(
                 tb["predictions"]
             )
+
+
+def test_process_batch_multi_model(classifier, tmp_path_factory):
+    """Multiple configured models each contribute predictions per track
+    (reference classify_clip loops config.models)."""
+    from classifier_pipeline_tpu.config.config import Config, ModelConfig
+    from classifier_pipeline_tpu.models.artifacts import create_model
+    from classifier_pipeline_tpu.pipeline.clipclassifier import ClipClassifier
+
+    p2 = tmp_path_factory.mktemp("model2") / "m2"
+    create_model(p2, model_name="simple-cnn")
+    m1 = classifier.models[0]
+    m2 = ModelConfig(id=2, name="second", model_file=str(p2) + ".json")
+    cc = ClipClassifier(Config({}), model=m1, seed=42)
+    cc.models = [m1, m2]
+    metas = cc.process_batch([CLIPS / "hedgehog.cptv"], chunks=1)
+    track = metas[0]["tracks"][0]
+    model_ids = sorted(p["model_id"] for p in track["predictions"])
+    assert model_ids == [1, 2]
