@@ -86,3 +86,30 @@ def test_process_batch_multi_model(classifier, tmp_path_factory):
     track = metas[0]["tracks"][0]
     model_ids = sorted(p["model_id"] for p in track["predictions"])
     assert model_ids == [1, 2]
+
+
+def test_classify_cli_batch(classifier, tmp_path):
+    """classify CLI --batch drives the concurrent device pipeline and writes
+    per-clip sidecars with predictions."""
+    import shutil
+
+    from classifier_pipeline_tpu.cli.classify import main
+
+    d = tmp_path / "clips"
+    d.mkdir()
+    shutil.copy(CLIPS / "possum.cptv", d / "possum.cptv")
+    shutil.copy(CLIPS / "hedgehog.cptv", d / "hedgehog.cptv")
+    model_file = classifier.models[0].model_file
+    rc = main(
+        [
+            str(d), "--batch", "-m", model_file, "-o", str(tmp_path / "out"),
+            "--seed", "42", "--platform", "cpu",
+        ]
+    )
+    assert rc in (0, None)
+    import json
+
+    for name in ("possum", "hedgehog"):
+        meta = json.loads((tmp_path / "out" / f"{name}.txt").read_text())
+        assert meta["tracks"]
+        assert all(t["predictions"] for t in meta["tracks"])
