@@ -3,6 +3,7 @@ arrays + fused job upload) must produce the same predictions as the
 single-clip process_file path (reference semantics: classification is
 per-track and independent of batching)."""
 
+import json
 from pathlib import Path
 
 import numpy as np
@@ -113,3 +114,23 @@ def test_classify_cli_batch(classifier, tmp_path):
         meta = json.loads((tmp_path / "out" / f"{name}.txt").read_text())
         assert meta["tracks"]
         assert all(t["predictions"] for t in meta["tracks"])
+
+
+def test_classify_no_track_reuses_sidecar(classifier, tmp_path):
+    """--no-track reuses tracks from the existing sidecar instead of
+    re-tracking (reference classify track=False: Clip.load_metadata)."""
+    import shutil
+
+    d = tmp_path / "reuse"
+    d.mkdir()
+    clip = d / "possum.cptv"
+    shutil.copy(CLIPS / "possum.cptv", clip)
+    # produce the sidecar with tracking first
+    meta = classifier.process_file(clip)
+    (d / "possum.txt").write_text(json.dumps(meta, default=str))
+    # now classify without tracking
+    meta2 = classifier.process_file_from_metadata(clip)
+    ids1 = [t["id"] for t in meta["tracks"]]
+    ids2 = [t["id"] for t in meta2["tracks"]]
+    assert ids1 == ids2
+    assert all(t["predictions"] for t in meta2["tracks"])
