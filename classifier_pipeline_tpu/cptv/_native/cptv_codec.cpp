@@ -70,6 +70,17 @@ struct Reader {
   std::vector<FrameMeta> metas;
   int n_frames = 0;
   std::string error;
+  // Upload-ready delta stream, produced during decode (the decoder's inner
+  // loop already holds each pixel's frame-to-frame delta; re-deriving it
+  // later from two uint16 frames costs a full extra pass over the corpus).
+  // Layout matches track/tracker_jax._encode_delta_u16: per frame i>=1 a
+  // global int32 shift (rounded mean delta) + int8 residuals; residuals
+  // outside [-127, 127] go to an exception list of (flat index, remainder)
+  // with flat index = (frame-1)*W*H + pixel.
+  std::vector<int8_t> resid;        // (n_frames-1) * W * H
+  std::vector<int32_t> shift;       // (n_frames-1)
+  std::vector<int32_t> exc_idx;
+  std::vector<int32_t> exc_val;
 };
 
 bool gunzip_all(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
@@ -132,8 +143,12 @@ class FieldParser {
 };
 
 // Decodes one frame's packed data into `out` given the previous frame.
-void decode_frame_data(const uint8_t* data, size_t size, int w_bits, int width,
-                       int height, const uint16_t* prev, uint16_t* out) {
+// When `dscratch` is non-null (and prev is non-null), also writes the
+// row-major per-pixel delta (cur - prev) and returns its int64 sum — the
+// ingredients of the upload delta stream (see Reader::resid).
+int64_t decode_frame_data(const uint8_t* data, size_t size, int w_bits,
+                          int width, int height, const uint16_t* prev,
+                          uint16_t* out, int32_t* dscratch) {
   const int npix = width * height;
   int32_t value = read_le<int32_t>(data);  // snake-order running delta
   const uint8_t* packed = data + 4;
@@ -148,18 +163,35 @@ void decode_frame_data(const uint8_t* data, size_t size, int w_bits, int width,
   // 32 bits at a time (w_bits <= 32, so one refill per pixel suffices)
   (void)npix;
   const int32_t signed_bias = static_cast<int32_t>(mask) + 1;
+  int64_t dsum = 0;
   bool first = true;
   for (int row = 0; row < height; row++) {
     uint16_t* orow = out + static_cast<size_t>(row) * width;
     const uint16_t* prow =
         prev ? prev + static_cast<size_t>(row) * width : nullptr;
+    int32_t* drow =
+        (dscratch && prev) ? dscratch + static_cast<size_t>(row) * width
+                           : nullptr;
     const bool rev = row & 1;
     for (int c = 0; c < width; c++) {
       if (!first) {
         if (nbits < w_bits) {
-          while (nbits <= 56 && bytepos < nbytes) {
-            bitbuf = (bitbuf << 8) | packed[bytepos++];
-            nbits += 8;
+          // bulk refill: one unaligned big-endian 64-bit load replaces up
+          // to 7 byte-at-a-time appends (the bit unpack is the decoder's
+          // hot loop — ~2.7M values per clip)
+          if (bytepos + 8 <= nbytes) {
+            uint64_t chunk;
+            memcpy(&chunk, packed + bytepos, 8);
+            chunk = __builtin_bswap64(chunk);
+            const int take = (63 - nbits) >> 3;  // >= 4 when nbits < 32
+            bitbuf = (bitbuf << (take * 8)) | (chunk >> (64 - take * 8));
+            bytepos += take;
+            nbits += take * 8;
+          } else {
+            while (nbits <= 56 && bytepos < nbytes) {
+              bitbuf = (bitbuf << 8) | packed[bytepos++];
+              nbits += 8;
+            }
           }
         }
         uint32_t raw =
@@ -173,8 +205,13 @@ void decode_frame_data(const uint8_t* data, size_t size, int w_bits, int width,
       const int col = rev ? width - 1 - c : c;
       orow[col] = static_cast<uint16_t>(
           (prow ? static_cast<int32_t>(prow[col]) : 0) + value);
+      if (drow) {
+        drow[col] = value;
+        dsum += value;
+      }
     }
   }
+  return dsum;
 }
 
 }  // namespace
@@ -241,7 +278,11 @@ void* cptv_open(const uint8_t* buf, size_t size) {
     return r;
   }
   const int npix = W * H;
-  std::vector<uint16_t> prev(npix, 0);
+  std::vector<int32_t> dscratch(npix);  // L2-resident per-frame delta
+  // frame-count estimate from the inflated size: one reserve avoids both
+  // repeated reallocs and the per-frame prev-frame copy (prev is a pointer
+  // into the pixels buffer, kept valid by reserving capacity up front)
+  r->pixels.reserve(((data.size() / (npix / 3 + 64)) + 8) * npix);
   while (pos < data.size()) {
     if (static_cast<char>(data[pos]) != 'F') {
       r->error = "unexpected section";
@@ -275,10 +316,32 @@ void* cptv_open(const uint8_t* buf, size_t size) {
     }
     size_t base = r->pixels.size();
     r->pixels.resize(base + npix);
-    decode_frame_data(data.data() + pos, fsize, w_bits, W, H,
-                      r->n_frames == 0 ? nullptr : prev.data(),
-                      r->pixels.data() + base);
-    memcpy(prev.data(), r->pixels.data() + base, npix * sizeof(uint16_t));
+    // prev = previous frame in the pixels buffer; pointer taken AFTER the
+    // resize so a realloc can't invalidate it
+    const uint16_t* prevp =
+        r->n_frames == 0 ? nullptr : r->pixels.data() + base - npix;
+    int64_t dsum = decode_frame_data(data.data() + pos, fsize, w_bits, W, H,
+                                     prevp, r->pixels.data() + base,
+                                     dscratch.data());
+    if (r->n_frames > 0) {
+      // fold this frame's deltas into the upload stream while they're hot
+      const int fi = r->n_frames - 1;  // resid/shift row index
+      const int32_t s =
+          static_cast<int32_t>(llround(static_cast<double>(dsum) / npix));
+      r->shift.push_back(s);
+      r->resid.resize(static_cast<size_t>(fi + 1) * npix);
+      int8_t* rr = r->resid.data() + static_cast<size_t>(fi) * npix;
+      const int32_t* dd = dscratch.data();
+      for (int i = 0; i < npix; i++) {
+        int32_t d = dd[i] - s;
+        int32_t c = d < -127 ? -127 : (d > 127 ? 127 : d);
+        rr[i] = static_cast<int8_t>(c);
+        if (d != c) {
+          r->exc_idx.push_back(fi * npix + i);
+          r->exc_val.push_back(d - c);
+        }
+      }
+    }
     r->metas.push_back(meta);
     r->n_frames++;
     pos += fsize;
@@ -353,6 +416,25 @@ int cptv_read_all(void* h, uint16_t* pixels, uint32_t* meta) {
 }
 
 void cptv_close(void* h) { delete static_cast<Reader*>(h); }
+
+// Upload-ready delta stream accessors (see Reader::resid). n_exceptions is
+// the exception-list length; cptv_read_delta copies residuals/shifts and up
+// to `cap` exceptions into caller buffers, returning the exception count.
+long long cptv_num_exceptions(void* h) {
+  return static_cast<long long>(static_cast<Reader*>(h)->exc_idx.size());
+}
+
+long long cptv_read_delta(void* h, int8_t* resid, int32_t* shift,
+                          int32_t* exc_idx, int32_t* exc_val, long long cap) {
+  auto* r = static_cast<Reader*>(h);
+  if (!r->error.empty() || r->n_frames < 2) return -1;
+  memcpy(resid, r->resid.data(), r->resid.size());
+  memcpy(shift, r->shift.data(), r->shift.size() * sizeof(int32_t));
+  long long n = std::min<long long>(cap, (long long)r->exc_idx.size());
+  memcpy(exc_idx, r->exc_idx.data(), n * sizeof(int32_t));
+  memcpy(exc_val, r->exc_val.data(), n * sizeof(int32_t));
+  return static_cast<long long>(r->exc_idx.size());
+}
 
 // ---------------------------------------------------------------- writer ----
 

@@ -116,6 +116,14 @@ def _load_native():
         ctypes.c_longlong, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_void_p, ctypes.c_longlong,
     ]
+    if hasattr(lib, "cptv_num_exceptions"):
+        lib.cptv_num_exceptions.restype = ctypes.c_longlong
+        lib.cptv_num_exceptions.argtypes = [ctypes.c_void_p]
+        lib.cptv_read_delta.restype = ctypes.c_longlong
+        lib.cptv_read_delta.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+        ]
     _lib = lib
     return _lib
 
@@ -218,10 +226,15 @@ class CptvFrame:
 class CptvClip:
     """A fully decoded CPTV clip: header + (T, H, W) uint16 pixel block."""
 
-    def __init__(self, header: CptvHeader, pixels: np.ndarray, meta: np.ndarray):
+    def __init__(self, header: CptvHeader, pixels: np.ndarray, meta: np.ndarray,
+                 delta=None):
         self.header = header
         self.pixels = pixels  # (T, H, W) uint16
         self._meta = meta  # (T, 5) uint32 [time_on, last_ffc, is_bg, temp, ffc_temp]
+        # upload-ready delta stream from the native decoder, or None:
+        # (resid (T-1, H, W) int8, shift (T-1,) int32, exc_idx, exc_val) with
+        # exc flat indices = (frame-1)*H*W + pixel (see tracker_jax upload)
+        self.delta = delta
 
     @property
     def n_frames(self) -> int:
@@ -490,7 +503,24 @@ def _decode_native(path) -> CptvClip | None:
         )
         if got != n:
             raise ValueError("CPTV read_all failed")
-        return CptvClip(header, pixels, meta)
+        delta = None
+        if n >= 2 and hasattr(lib, "cptv_num_exceptions"):
+            n_exc = lib.cptv_num_exceptions(h)
+            resid = np.empty((n - 1, H, W), np.int8)
+            shift = np.empty(n - 1, np.int32)
+            exc_idx = np.empty(max(int(n_exc), 1), np.int32)
+            exc_val = np.empty(max(int(n_exc), 1), np.int32)
+            got_exc = lib.cptv_read_delta(
+                h,
+                resid.ctypes.data_as(ctypes.c_void_p),
+                shift.ctypes.data_as(ctypes.c_void_p),
+                exc_idx.ctypes.data_as(ctypes.c_void_p),
+                exc_val.ctypes.data_as(ctypes.c_void_p),
+                int(n_exc),
+            )
+            if got_exc == n_exc:
+                delta = (resid, shift, exc_idx[:n_exc], exc_val[:n_exc])
+        return CptvClip(header, pixels, meta, delta=delta)
     finally:
         lib.cptv_close(h)
 

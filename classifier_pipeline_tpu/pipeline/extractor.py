@@ -164,7 +164,38 @@ class ClipTrackExtractor:
         last_ffc = meta[:, 1].astype(np.int64)
         ffc = (time_on - last_ffc) < FFC_PERIOD_MS_QUIRK
         background = pixels[0]  # reference init uses the reader's first frame
-        return clip, camera_model, params, thermal, ffc, background, clip_id
+        delta_fg = self._foreground_delta(clip, thermal, process_background)
+        return (clip, camera_model, params, thermal, ffc, background, clip_id,
+                delta_fg)
+
+    @staticmethod
+    def _foreground_delta(clip, thermal, process_background):
+        """Slice the decoder's upload-ready delta stream (CptvClip.delta) to
+        the tracked frame range, so the batch upload skips re-encoding.
+        Returns None (→ re-encode fallback) when the decoder didn't provide
+        deltas or background frames aren't a leading prefix."""
+        d = getattr(clip, "delta", None)
+        t_real = thermal.shape[0]
+        if d is None or t_real < 2:
+            return None
+        if process_background:
+            return d
+        bg = clip.is_background
+        nbg = int(bg.sum())
+        if nbg and not bg[:nbg].all():
+            return None  # fancy-indexed foreground: delta chain broken
+        resid, shift, ei, ev = d
+        if nbg == 0:
+            return (resid, shift, ei, ev)
+        HW = resid.shape[1] * resid.shape[2]
+        lo, hi = nbg * HW, (nbg + t_real - 1) * HW
+        m = (ei >= lo) & (ei < hi)
+        return (
+            resid[nbg : nbg + t_real - 1],
+            shift[nbg : nbg + t_real - 1],
+            ei[m] - lo,
+            ev[m],
+        )
 
     def scan_batch(self, paths, process_background=False):
         """Decode + upload + dispatch the vmapped scan for a clip batch
@@ -235,6 +266,7 @@ class ClipTrackExtractor:
                     [b[4] for b in batch],
                     params,
                     backgrounds=[b[5] for b in batch],
+                    deltas=[b[7] for b in batch],
                 ),
             )
 
@@ -280,11 +312,14 @@ class ClipTrackExtractor:
                             [b[4] for b in batch],
                             p,
                             backgrounds=[b[5] for b in batch],
+                            deltas=[b[7] for b in batch],
                         ),
                     )
                 )
             for i, (rows, carry) in zip(idxs, scans):
-                clip, camera_model, params_i, thermal, ffc, _, clip_id = prepped[i]
+                clip, camera_model, params_i, thermal, ffc, _, clip_id = (
+                    prepped[i][:7]
+                )
                 results[i] = self._finalize(
                     Path(paths[i]), clip, camera_model, params_i, thermal,
                     rows, carry, start, clip_id=clip_id,
@@ -303,7 +338,7 @@ class ClipTrackExtractor:
     def extract(self, path, process_background=False) -> ExtractResult:
         start = time.time()
         clip, camera_model, params, thermal, ffc, background, clip_id = (
-            self._prepare(path, process_background)
+            self._prepare(path, process_background)[:7]
         )
         # track_clip fetches rows to host except the device-resident filtered
         rows, carry = tracker_jax.track_clip(thermal, ffc, params, background)

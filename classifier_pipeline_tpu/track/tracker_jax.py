@@ -207,7 +207,12 @@ def _host_nlmeans_available() -> bool:
 def _host_nlmeans_cb(u8_i32: np.ndarray) -> np.ndarray:
     from classifier_pipeline_tpu.cptv.codec import nl_means_u8_host
 
-    return nl_means_u8_host(u8_i32.astype(np.uint8))
+    # MUST stay pure numpy: pure_callback may hand us a jax.Array, and
+    # binding any jax primitive here (e.g. jax astype) re-enters the
+    # runtime from the XLA execution thread — deadlocks against concurrent
+    # dispatch on the main thread (observed: scan executing while Flax
+    # init runs → both parked in apply_primitive).
+    return nl_means_u8_host(np.asarray(u8_i32).astype(np.uint8, copy=False))
 
 
 def _round_half_even_div(d: jax.Array, n) -> jax.Array:
@@ -1060,6 +1065,48 @@ def _pad_clip_batch(thermals, ffcs, params, backgrounds=None, bucket=32):
     return th, ffc_pad, carry0
 
 
+def _pad_clip_batch_delta(thermals, ffcs, params, backgrounds, bucket, deltas):
+    """Assemble the compressed upload directly from the decoder's per-clip
+    delta streams (cptv.codec.CptvClip.delta): no (B, T, H, W) uint16 batch
+    is ever materialized and no re-encode pass runs — the CPTV decoder
+    already emitted int8 residuals (+ exceptions) while its per-frame deltas
+    were cache-hot. Padding frames replicate each clip's last frame, whose
+    delta rows are exactly zero, so resid/shift stay zero-initialized there
+    (same semantics as _pad_clip_batch's replica padding)."""
+    B = len(thermals)
+    T = _round_up(max(t.shape[0] for t in thermals), bucket)
+    H, W = params.res_y, params.res_x
+    HW = H * W
+    first = np.empty((B, H, W), np.int32)
+    resid = np.empty((B, T - 1, H, W), np.int8)  # padding rows zeroed below
+    shift = np.zeros((B, T - 1), np.int32)
+    ffc_pad = np.ones((B, T), bool)  # padding = FFC (inert)
+    exc_i, exc_v = [], []
+    carries = []
+    for b, thermal in enumerate(thermals):
+        t = thermal.shape[0]
+        r, s, ei, ev = deltas[b]
+        first[b] = thermal[0]
+        resid[b, : t - 1] = r.reshape(t - 1, H, W)
+        resid[b, t - 1 :] = 0  # replica padding: delta exactly zero
+        shift[b, : t - 1] = s
+        if len(ei):
+            exc_i.append(ei.astype(np.int32) + np.int32(b * (T - 1) * HW))
+            exc_v.append(ev)
+        ffc_pad[b, :t] = ffcs[b]
+        bg = backgrounds[b] if backgrounds is not None else thermal[0]
+        carries.append(init_carry(params, bg))
+    n_exc = sum(len(e) for e in exc_i)
+    K = _round_up(max(n_exc, 1), 4096)
+    idx_p = np.zeros(K, np.int32)
+    val_p = np.zeros(K, np.int32)
+    if n_exc:
+        idx_p[:n_exc] = np.concatenate(exc_i)
+        val_p[:n_exc] = np.concatenate(exc_v)
+    carry0 = jax.tree.map(lambda *xs: np.stack(xs), *carries)
+    return (first, resid, shift, idx_p, val_p), ffc_pad, carry0
+
+
 import concurrent.futures
 
 # background fetch pool: device->host transfers block on device completion
@@ -1123,6 +1170,7 @@ def track_clips_batch_dispatch(
     backgrounds: list | None = None,
     bucket: int = 32,
     frame_medians: bool = True,
+    deltas: list | None = None,
 ):
     """Upload a clip batch and dispatch its scan WITHOUT blocking.
 
@@ -1130,19 +1178,37 @@ def track_clips_batch_dispatch(
     the scan are queued, so a caller can dispatch chunk k+1 while chunk k is
     still computing and overlap tunnel transfers with device compute.
     Returns an opaque handle for track_clips_batch_collect.
-    """
-    th, ffc_pad, carry0 = _pad_clip_batch(
-        thermals, ffcs, params, backgrounds, bucket
-    )
-    T = th.shape[1]
-    enc = None
-    if T >= 2 and os.environ.get("CPTPU_DELTA_UPLOAD", "1") != "0":
-        # halve the host->device bytes: int8 delta stream + exceptions,
-        # encoded by the native codec (a pure-numpy pass over ~100MB costs
-        # tens of seconds on weak hosts; the C encoder streams it)
-        from classifier_pipeline_tpu.cptv.codec import delta_encode_u16
 
-        enc = delta_encode_u16(th)
+    ``deltas`` (optional): per-clip decoder delta streams aligned with
+    ``thermals`` (see _pad_clip_batch_delta). When every clip has one, the
+    compressed upload is assembled straight from them — skipping both the
+    (B, T, H, W) uint16 batch materialization and the re-encode pass.
+    """
+    T = _round_up(max(t.shape[0] for t in thermals), bucket)
+    HW = params.res_y * params.res_x
+    delta_upload = os.environ.get("CPTPU_DELTA_UPLOAD", "1") != "0"
+    enc = None
+    if (
+        delta_upload
+        and T >= 2
+        and deltas is not None
+        and all(d is not None for d in deltas)
+        and len(thermals) * (T - 1) * HW < 2**31
+    ):
+        enc, ffc_pad, carry0 = _pad_clip_batch_delta(
+            thermals, ffcs, params, backgrounds, bucket, deltas
+        )
+    else:
+        th, ffc_pad, carry0 = _pad_clip_batch(
+            thermals, ffcs, params, backgrounds, bucket
+        )
+        if T >= 2 and delta_upload:
+            # halve the host->device bytes: int8 delta stream + exceptions,
+            # encoded by the native codec (a pure-numpy pass over ~100MB
+            # costs tens of seconds on weak hosts; the C encoder streams it)
+            from classifier_pipeline_tpu.cptv.codec import delta_encode_u16
+
+            enc = delta_encode_u16(th)
     if enc is not None:
         th_dev = _decode_delta_u16(*(jnp.asarray(a) for a in enc))
     else:

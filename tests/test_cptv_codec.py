@@ -117,3 +117,70 @@ def test_reader_shim(possum_cptv):
     assert n == 161
     assert first.background_frame
     assert first.pix.shape == (120, 160)
+
+
+def test_decoder_delta_stream_bit_exact(possum_cptv, hedgehog_cptv):
+    """The native decoder's upload-ready delta stream (CptvClip.delta)
+    reconstructs the pixel block bit-exactly (resid+shift+exceptions chain,
+    mirrored on device by tracker_jax._decode_delta_u16)."""
+    import numpy as np
+
+    from classifier_pipeline_tpu.cptv import load_cptv
+
+    for path in (possum_cptv, hedgehog_cptv):
+        clip = load_cptv(path)
+        if clip.delta is None:
+            import pytest
+
+            pytest.skip("native codec unavailable")
+        resid, shift, ei, ev = clip.delta
+        assert resid.shape == (clip.n_frames - 1, *clip.pixels.shape[1:])
+        d = resid.astype(np.int32) + shift[:, None, None]
+        flat = d.reshape(-1)
+        flat[ei] += ev
+        px0 = clip.pixels[:1].astype(np.int32)
+        rec = np.concatenate(
+            [px0, px0 + np.cumsum(flat.reshape(resid.shape), axis=0)]
+        )
+        assert (rec.astype(np.uint16) == clip.pixels).all()
+
+
+def test_foreground_delta_slice_matches_reencode(possum_cptv):
+    """_foreground_delta's sliced decoder stream equals what the C re-encoder
+    produces from the foreground pixels (possum has a leading background
+    frame, so the slice path is exercised)."""
+    import numpy as np
+
+    from classifier_pipeline_tpu.cptv import load_cptv
+    from classifier_pipeline_tpu.cptv.codec import delta_encode_u16
+    from classifier_pipeline_tpu.pipeline.extractor import ClipTrackExtractor
+
+    clip = load_cptv(possum_cptv)
+    if clip.delta is None:
+        import pytest
+
+        pytest.skip("native codec unavailable")
+    thermal = clip.foreground_pixels
+    fg = ClipTrackExtractor._foreground_delta(clip, thermal, False)
+    assert fg is not None
+    resid, shift, ei, ev = fg
+    # decode both streams back to pixels and compare (shift rounding may
+    # differ half-even vs half-away; the reconstruction must not)
+    enc = delta_encode_u16(np.ascontiguousarray(thermal)[None])
+    assert enc is not None
+    first, resid2, shift2, ei2, ev2 = enc
+
+    def rec(first_i32, r, s, i, v):
+        d = r.reshape(-1, *thermal.shape[1:]).astype(np.int32) + np.asarray(
+            s
+        ).reshape(-1, 1, 1)
+        flat = d.reshape(-1)
+        np.add.at(flat, np.asarray(i), np.asarray(v))
+        return np.concatenate(
+            [first_i32, first_i32 + np.cumsum(d, axis=0)]
+        ).astype(np.uint16)
+
+    a = rec(thermal[:1].astype(np.int32), resid, shift, ei, ev)
+    b = rec(first.reshape(1, *thermal.shape[1:]), resid2, shift2, ei2, ev2)
+    assert (a == b).all()
+    assert (a == thermal).all()
