@@ -13,6 +13,7 @@ classifies every track, and reports aggregate end-to-end frames/sec.
 
 import json
 import os
+import subprocess
 import sys
 import tempfile
 import time
@@ -23,10 +24,40 @@ import numpy as np
 BASELINE_FPS = 450.0  # 50x real-time at 9 fps
 CLIPS_DIR = Path("/root/reference/tests/clips")
 BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+# The remote-TPU tunnel occasionally drops mid-session; a wedged client
+# blocks forever (no error surfaces). The outer process runs the real bench
+# as a watchdogged subprocess and retries on hang/failure with a fresh
+# client so one flap can't zero the score.
+INNER_TIMEOUT_S = int(os.environ.get("BENCH_INNER_TIMEOUT_S", "1500"))
+RETRIES = int(os.environ.get("BENCH_RETRIES", "2"))
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+def outer():
+    for attempt in range(1 + RETRIES):
+        try:
+            out = subprocess.run(
+                [sys.executable, __file__, "--inner"],
+                stdout=subprocess.PIPE,
+                timeout=INNER_TIMEOUT_S,
+            )
+        except subprocess.TimeoutExpired:
+            log(f"bench: attempt {attempt} hung >{INNER_TIMEOUT_S}s "
+                "(tunnel flap?), retrying with a fresh client")
+            continue
+        lines = [
+            l for l in out.stdout.decode().splitlines()
+            if l.startswith("{")
+        ]
+        if out.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        log(f"bench: attempt {attempt} failed rc={out.returncode}, retrying")
+    log("bench: all attempts failed")
+    return 1
 
 
 def main():
@@ -81,4 +112,4 @@ def main():
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main() if "--inner" in sys.argv else outer())

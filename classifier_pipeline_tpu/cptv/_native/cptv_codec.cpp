@@ -42,6 +42,9 @@
 #include <utility>
 #include <vector>
 #include <zlib.h>
+#if defined(__AVX2__)
+#include <immintrin.h>
+#endif
 
 namespace {
 
@@ -142,13 +145,89 @@ class FieldParser {
   size_t pos_;
 };
 
+#if defined(__AVX2__)
+// Vectorized MSB-first bit-field unpack: adj[i] = sign-extended w_bits-wide
+// value number i of the packed stream. Requires w_bits <= 24 (a field plus
+// its <=7 leading slack bits must fit one 32-bit load). 8 values per
+// iteration: dword gather at byte offsets, byte-swap, variable shift, mask,
+// sign-extend.
+static void unpack_bits_avx2(const uint8_t* packed, size_t nbytes, int n,
+                             int w_bits, int32_t* adj) {
+  const uint32_t sign_bit = 1u << (w_bits - 1);
+  const uint32_t mask = (1u << w_bits) - 1;
+  int i = 0;
+  const __m256i vlane = _mm256_setr_epi32(0, 1, 2, 3, 4, 5, 6, 7);
+  const __m256i bswap = _mm256_setr_epi8(
+      3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12,
+      3, 2, 1, 0, 7, 6, 5, 4, 11, 10, 9, 8, 15, 14, 13, 12);
+  const __m256i vsign = _mm256_set1_epi32((int)sign_bit);
+  const __m256i vseven = _mm256_set1_epi32(7);
+  const __m256i vw = _mm256_set1_epi32(w_bits);
+  for (; i + 8 <= n; i += 8) {
+    const long long last_bit = (long long)(i + 7) * w_bits;
+    if ((size_t)((last_bit >> 3) + 4) > nbytes) break;  // tail: scalar
+    __m256i vi = _mm256_add_epi32(_mm256_set1_epi32(i), vlane);
+    __m256i vo = _mm256_mullo_epi32(vi, vw);
+    __m256i vbyte = _mm256_srli_epi32(vo, 3);
+    __m256i vrem = _mm256_and_si256(vo, vseven);
+    __m256i raw = _mm256_i32gather_epi32((const int*)packed, vbyte, 1);
+    raw = _mm256_shuffle_epi8(raw, bswap);      // LE load -> big-endian value
+    raw = _mm256_sllv_epi32(raw, vrem);         // drop leading slack bits
+    raw = _mm256_srli_epi32(raw, 32 - w_bits);  // keep the field
+    raw = _mm256_sub_epi32(_mm256_xor_si256(raw, vsign), vsign);  // sign ext
+    _mm256_storeu_si256((__m256i*)(adj + i), raw);
+  }
+  for (; i < n; i++) {  // scalar tail (also covers the last <4 bytes)
+    const long long o = (long long)i * w_bits;
+    size_t b = (size_t)(o >> 3);
+    const int rem = (int)(o & 7);
+    uint32_t word = 0;
+    int loaded = 0;
+    for (; loaded < 4 && b + loaded < nbytes; loaded++)
+      word = (word << 8) | packed[b + loaded];
+    word <<= (4 - loaded) * 8;
+    uint32_t raw = (word << rem) >> (32 - w_bits);
+    int32_t v = (int32_t)(raw & mask);
+    if (raw & sign_bit) v -= (int32_t)mask + 1;
+    adj[i] = v;
+  }
+}
+
+// In-place running (prefix) sum of n int32 values, matching the scalar
+// accumulation mod 2^32.
+static void prefix_sum_avx2(int32_t* vals, int n) {
+  int i = 0;
+  __m256i carry = _mm256_setzero_si256();
+  const __m256i bcast7 = _mm256_set1_epi32(7);
+  const __m256i bcast3 = _mm256_set1_epi32(3);
+  for (; i + 8 <= n; i += 8) {
+    __m256i x = _mm256_loadu_si256((const __m256i*)(vals + i));
+    x = _mm256_add_epi32(x, _mm256_slli_si256(x, 4));
+    x = _mm256_add_epi32(x, _mm256_slli_si256(x, 8));
+    // propagate low 128-lane total into the high lane
+    __m256i lowtot = _mm256_permutevar8x32_epi32(x, bcast3);
+    lowtot = _mm256_blend_epi32(lowtot, _mm256_setzero_si256(), 0x0F);
+    x = _mm256_add_epi32(x, lowtot);
+    x = _mm256_add_epi32(x, carry);
+    _mm256_storeu_si256((__m256i*)(vals + i), x);
+    carry = _mm256_permutevar8x32_epi32(x, bcast7);
+  }
+  int32_t c = i ? vals[i - 1] : 0;
+  for (; i < n; i++) {
+    c += vals[i];
+    vals[i] = c;
+  }
+}
+#endif  // __AVX2__
+
 // Decodes one frame's packed data into `out` given the previous frame.
 // When `dscratch` is non-null (and prev is non-null), also writes the
 // row-major per-pixel delta (cur - prev) and returns its int64 sum — the
 // ingredients of the upload delta stream (see Reader::resid).
-int64_t decode_frame_data(const uint8_t* data, size_t size, int w_bits,
-                          int width, int height, const uint16_t* prev,
-                          uint16_t* out, int32_t* dscratch) {
+// `vals_scratch` (npix int32) enables the vectorized path.
+int64_t decode_frame_data_scalar(const uint8_t* data, size_t size, int w_bits,
+                                 int width, int height, const uint16_t* prev,
+                                 uint16_t* out, int32_t* dscratch) {
   const int npix = width * height;
   int32_t value = read_le<int32_t>(data);  // snake-order running delta
   const uint8_t* packed = data + 4;
@@ -212,6 +291,60 @@ int64_t decode_frame_data(const uint8_t* data, size_t size, int w_bits,
     }
   }
   return dsum;
+}
+
+// Dispatcher: vectorized unpack + prefix sum + row pass when available,
+// scalar fallback otherwise. Bit-identical results (int32 arithmetic mod
+// 2^32 in both paths).
+int64_t decode_frame_data(const uint8_t* data, size_t size, int w_bits,
+                          int width, int height, const uint16_t* prev,
+                          uint16_t* out, int32_t* dscratch,
+                          int32_t* vals_scratch) {
+#if defined(__AVX2__)
+  const int npix = width * height;
+  if (vals_scratch && w_bits >= 2 && w_bits <= 24 && size >= 4) {
+    int32_t* vals = vals_scratch;
+    vals[0] = read_le<int32_t>(data);
+    unpack_bits_avx2(data + 4, size - 4, npix - 1, w_bits, vals + 1);
+    prefix_sum_avx2(vals, npix);  // snake-order running values
+    int64_t dsum = 0;
+    for (int row = 0; row < height; row++) {
+      const int32_t* vrow = vals + (size_t)row * width;
+      uint16_t* orow = out + (size_t)row * width;
+      const uint16_t* prow =
+          prev ? prev + (size_t)row * width : nullptr;
+      int32_t* drow =
+          (dscratch && prev) ? dscratch + (size_t)row * width : nullptr;
+      if (row & 1) {  // snake: odd rows reversed
+        if (prow) {
+          for (int c = 0; c < width; c++)
+            orow[c] = (uint16_t)((int32_t)prow[c] + vrow[width - 1 - c]);
+          if (drow)
+            for (int c = 0; c < width; c++) drow[c] = vrow[width - 1 - c];
+        } else {
+          for (int c = 0; c < width; c++)
+            orow[c] = (uint16_t)vrow[width - 1 - c];
+        }
+      } else {
+        if (prow) {
+          for (int c = 0; c < width; c++)
+            orow[c] = (uint16_t)((int32_t)prow[c] + vrow[c]);
+          if (drow) memcpy(drow, vrow, width * sizeof(int32_t));
+        } else {
+          for (int c = 0; c < width; c++) orow[c] = (uint16_t)vrow[c];
+        }
+      }
+    }
+    if (dscratch && prev) {
+      for (int i = 0; i < npix; i++) dsum += dscratch[i];
+    }
+    return dsum;
+  }
+#else
+  (void)vals_scratch;
+#endif
+  return decode_frame_data_scalar(data, size, w_bits, width, height, prev,
+                                  out, dscratch);
 }
 
 }  // namespace
@@ -279,6 +412,7 @@ void* cptv_open(const uint8_t* buf, size_t size) {
   }
   const int npix = W * H;
   std::vector<int32_t> dscratch(npix);  // L2-resident per-frame delta
+  std::vector<int32_t> vals(npix);      // decode scratch (vector path)
   // frame-count estimate from the inflated size: one reserve avoids both
   // repeated reallocs and the per-frame prev-frame copy (prev is a pointer
   // into the pixels buffer, kept valid by reserving capacity up front)
@@ -322,7 +456,7 @@ void* cptv_open(const uint8_t* buf, size_t size) {
         r->n_frames == 0 ? nullptr : r->pixels.data() + base - npix;
     int64_t dsum = decode_frame_data(data.data() + pos, fsize, w_bits, W, H,
                                      prevp, r->pixels.data() + base,
-                                     dscratch.data());
+                                     dscratch.data(), vals.data());
     if (r->n_frames > 0) {
       // fold this frame's deltas into the upload stream while they're hot
       const int fi = r->n_frames - 1;  // resid/shift row index

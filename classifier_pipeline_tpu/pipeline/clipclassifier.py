@@ -163,7 +163,12 @@ class ClipClassifier:
         )
 
         if chunks is None:
-            chunks = int(os.environ.get("BATCH_PIPELINE_CHUNKS", "2"))
+            # 4 chunks measured best once the upload assembles from decoder
+            # deltas (sweep 2/4: ~8.4s vs ~7.4s per 64 clips): finer chunks
+            # hide more of the first chunk's decode behind device compute,
+            # and dispatch is now cheap enough that the smaller (B=16) scans
+            # don't cost more than the overlap buys
+            chunks = int(os.environ.get("BATCH_PIPELINE_CHUNKS", "4"))
         chunks = max(1, min(chunks, len(paths)))
         start = time.time()
         extractor = ClipTrackExtractor(
@@ -203,13 +208,14 @@ class ClipClassifier:
             pred_handles = {}
             for model in self.models:
                 interpreter = self.get_classifier(model)
-                pred_handles[model.id] = (
-                    interpreter,
-                    classify_clip_batch_dispatch(
-                        interpreter, ctxs, [res.tracks for res in results],
-                        min_segments=1,
-                    ),
-                )
+                with extractor._stage("classify-dispatch"):
+                    pred_handles[model.id] = (
+                        interpreter,
+                        classify_clip_batch_dispatch(
+                            interpreter, ctxs, [res.tracks for res in results],
+                            min_segments=1,
+                        ),
+                    )
             chunk_results.append(
                 (
                     [res.metadata for res in results],
@@ -222,10 +228,11 @@ class ClipClassifier:
         # Phase C: collect predictions and merge metadata per chunk
         metas = []
         for chunk_metas, chunk_track_ids, pred_handles in chunk_results:
-            all_preds = {
-                mid: (interp, classify_clip_batch_collect(h))
-                for mid, (interp, h) in pred_handles.items()
-            }
+            with extractor._stage("classify-wait"):
+                all_preds = {
+                    mid: (interp, classify_clip_batch_collect(h))
+                    for mid, (interp, h) in pred_handles.items()
+                }
             for ci, meta in enumerate(chunk_metas):
                 for i, track_id in enumerate(chunk_track_ids[ci]):
                     pred_info = []
@@ -242,6 +249,8 @@ class ClipClassifier:
         logging.info(
             "Classified %d clips in %.1fs", len(paths), time.time() - start
         )
+        if extractor.timer is not None:
+            extractor.timer.log("process_batch ")
         return metas
 
     @staticmethod

@@ -114,6 +114,18 @@ class ClipTrackExtractor:
         self.calculate_thumbnails = calculate_thumbnails
         self.emit_mask = emit_mask
         self._clip_id = 0
+        # optional stage accounting (CPTPU_TIMING=1): decode / dispatch /
+        # scan-wait / assemble shares of the batch path
+        self.timer = None
+        if os.environ.get("CPTPU_TIMING", "0") == "1":
+            from classifier_pipeline_tpu.utils.profiling import StageTimer
+
+            self.timer = StageTimer()
+
+    def _stage(self, name):
+        import contextlib
+
+        return self.timer.stage(name) if self.timer else contextlib.nullcontext()
 
     def params_for(self, camera_model) -> TrackingParams:
         th = threshold_for_model(camera_model)
@@ -214,7 +226,9 @@ class ClipTrackExtractor:
         for _ in paths:
             self._clip_id += 1
             clip_ids.append(self._clip_id)
-        with ThreadPoolExecutor(max_workers=min(8, len(paths))) as pool:
+        with self._stage("decode"), ThreadPoolExecutor(
+            max_workers=min(8, len(paths))
+        ) as pool:
             prepped = list(
                 pool.map(
                     lambda pc: self._prepare(pc[0], process_background,
@@ -259,16 +273,17 @@ class ClipTrackExtractor:
 
         def dispatch_one(params, sub):
             batch = [prepped[i] for i in sub]
-            return (
-                sub,
-                tracker_jax.track_clips_batch_dispatch(
-                    [b[3] for b in batch],
-                    [b[4] for b in batch],
-                    params,
-                    backgrounds=[b[5] for b in batch],
-                    deltas=[b[7] for b in batch],
-                ),
-            )
+            with self._stage("upload+dispatch"):
+                return (
+                    sub,
+                    tracker_jax.track_clips_batch_dispatch(
+                        [b[3] for b in batch],
+                        [b[4] for b in batch],
+                        params,
+                        backgrounds=[b[5] for b in batch],
+                        deltas=[b[7] for b in batch],
+                    ),
+                )
 
         # Dispatch everything up front while the BATCH total fits the device
         # budget; otherwise dispatch in waves — collect_batch launches the
@@ -298,7 +313,8 @@ class ClipTrackExtractor:
         queue = list(handles)
         while queue:
             idxs, handle = queue.pop(0)
-            scans = tracker_jax.track_clips_batch_collect(handle)
+            with self._stage("scan-wait"):
+                scans = tracker_jax.track_clips_batch_collect(handle)
             if pending:
                 # previous subgroup's big device buffers are fetched; start
                 # the next wave
@@ -320,10 +336,11 @@ class ClipTrackExtractor:
                 clip, camera_model, params_i, thermal, ffc, _, clip_id = (
                     prepped[i][:7]
                 )
-                results[i] = self._finalize(
-                    Path(paths[i]), clip, camera_model, params_i, thermal,
-                    rows, carry, start, clip_id=clip_id,
-                )
+                with self._stage("assemble"):
+                    results[i] = self._finalize(
+                        Path(paths[i]), clip, camera_model, params_i, thermal,
+                        rows, carry, start, clip_id=clip_id,
+                    )
                 # device-resident group arrays for downstream classification
                 results[i].device_group = getattr(carry, "device_group", None)
                 results[i].lane = getattr(carry, "lane", -1)
