@@ -134,3 +134,25 @@ def test_classify_no_track_reuses_sidecar(classifier, tmp_path):
     ids2 = [t["id"] for t in meta2["tracks"]]
     assert ids1 == ids2
     assert all(t["predictions"] for t in meta2["tracks"])
+
+
+def test_batch_reencode_fallback_matches_decoder_deltas(tmp_path):
+    """Clips without decoder delta streams (python-decoded, fancy-indexed
+    backgrounds) fall back to the C re-encoder; tracking output must be
+    identical to the decoder-delta upload path."""
+    from classifier_pipeline_tpu.pipeline.extractor import ClipTrackExtractor
+
+    paths = [CLIPS / "possum.cptv", CLIPS / "hedgehog.cptv"]
+    ex1 = ClipTrackExtractor(config={}, keep_rows=False)
+    res_delta = ex1.extract_batch(paths)
+
+    ex2 = ClipTrackExtractor(config={}, keep_rows=False)
+    ex2._foreground_delta = staticmethod(lambda clip, thermal, pb: None)
+    res_fallback = ex2.extract_batch(paths)
+
+    for a, b in zip(res_delta, res_fallback):
+        ta, tb = a.metadata["tracks"], b.metadata["tracks"]
+        assert len(ta) == len(tb)
+        for x, y in zip(ta, tb):
+            assert x["positions"] == y["positions"]
+            assert x["tracking_score"] == y["tracking_score"]
