@@ -44,7 +44,15 @@ def outer():
                 stdout=subprocess.PIPE,
                 timeout=INNER_TIMEOUT_S,
             )
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as exc:
+            # the wedge can hit during client teardown AFTER the result
+            # printed — salvage a complete measurement from partial stdout
+            partial = (exc.stdout or b"").decode(errors="replace")
+            lines = [l for l in partial.splitlines() if l.startswith("{")]
+            if lines:
+                log("bench: inner hung at teardown but had printed a result")
+                print(lines[-1])
+                return 0
             log(f"bench: attempt {attempt} hung >{INNER_TIMEOUT_S}s "
                 "(tunnel flap?), retrying with a fresh client")
             continue

@@ -84,6 +84,7 @@ struct Reader {
   std::vector<int32_t> shift;       // (n_frames-1)
   std::vector<int32_t> exc_idx;
   std::vector<int32_t> exc_val;
+  bool delta_overflow = false;      // per-clip flat index would exceed int32
 };
 
 bool gunzip_all(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
@@ -185,7 +186,9 @@ static void unpack_bits_avx2(const uint8_t* packed, size_t nbytes, int n,
     int loaded = 0;
     for (; loaded < 4 && b + loaded < nbytes; loaded++)
       word = (word << 8) | packed[b + loaded];
-    word <<= (4 - loaded) * 8;
+    if (loaded > 0 && loaded < 4) word <<= (4 - loaded) * 8;
+    // loaded == 0 (field starts past the buffer): word stays 0 — garbage-in
+    // for a truncated frame, but defined (a shift by 32 would be UB)
     uint32_t raw = (word << rem) >> (32 - w_bits);
     int32_t v = (int32_t)(raw & mask);
     if (raw & sign_bit) v -= (int32_t)mask + 1;
@@ -460,6 +463,16 @@ void* cptv_open(const uint8_t* buf, size_t size) {
     if (r->n_frames > 0) {
       // fold this frame's deltas into the upload stream while they're hot
       const int fi = r->n_frames - 1;  // resid/shift row index
+      if ((int64_t)(fi + 1) * npix > INT32_MAX) r->delta_overflow = true;
+      if (r->delta_overflow) {
+        // flat exception indices no longer fit int32 (~3.4h clip at
+        // 160x120) — the stream is unusable; callers fall back to the
+        // batch re-encoder (cptv_num_exceptions reports -1)
+        r->metas.push_back(meta);
+        r->n_frames++;
+        pos += fsize;
+        continue;
+      }
       const int32_t s =
           static_cast<int32_t>(llround(static_cast<double>(dsum) / npix));
       r->shift.push_back(s);
@@ -555,13 +568,15 @@ void cptv_close(void* h) { delete static_cast<Reader*>(h); }
 // the exception-list length; cptv_read_delta copies residuals/shifts and up
 // to `cap` exceptions into caller buffers, returning the exception count.
 long long cptv_num_exceptions(void* h) {
-  return static_cast<long long>(static_cast<Reader*>(h)->exc_idx.size());
+  auto* r = static_cast<Reader*>(h);
+  if (r->delta_overflow) return -1;  // stream unusable: fall back
+  return static_cast<long long>(r->exc_idx.size());
 }
 
 long long cptv_read_delta(void* h, int8_t* resid, int32_t* shift,
                           int32_t* exc_idx, int32_t* exc_val, long long cap) {
   auto* r = static_cast<Reader*>(h);
-  if (!r->error.empty() || r->n_frames < 2) return -1;
+  if (!r->error.empty() || r->n_frames < 2 || r->delta_overflow) return -1;
   memcpy(resid, r->resid.data(), r->resid.size());
   memcpy(shift, r->shift.data(), r->shift.size() * sizeof(int32_t));
   long long n = std::min<long long>(cap, (long long)r->exc_idx.size());

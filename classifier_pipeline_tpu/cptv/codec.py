@@ -506,6 +506,8 @@ def _decode_native(path) -> CptvClip | None:
         delta = None
         if n >= 2 and hasattr(lib, "cptv_num_exceptions"):
             n_exc = lib.cptv_num_exceptions(h)
+            if n_exc < 0:  # overflowed stream: decoder says fall back
+                return CptvClip(header, pixels, meta, delta=None)
             resid = np.empty((n - 1, H, W), np.int8)
             shift = np.empty(n - 1, np.int32)
             exc_idx = np.empty(max(int(n_exc), 1), np.int32)

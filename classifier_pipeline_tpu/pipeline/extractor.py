@@ -280,20 +280,6 @@ class ClipTrackExtractor:
                 subgroups.append((params, sub, size * bytes_per_clip))
                 total_bytes += size * bytes_per_clip
 
-        def dispatch_one(params, sub):
-            batch = [prepped[i] for i in sub]
-            with self._stage("upload+dispatch"):
-                return (
-                    sub,
-                    tracker_jax.track_clips_batch_dispatch(
-                        [b[3] for b in batch],
-                        [b[4] for b in batch],
-                        params,
-                        backgrounds=[b[5] for b in batch],
-                        deltas=[b[7] for b in batch],
-                    ),
-                )
-
         # Dispatch everything up front while the BATCH total fits the device
         # budget; otherwise dispatch in waves — collect_batch launches the
         # next subgroup as each one completes, bounding live residency.
@@ -301,16 +287,33 @@ class ClipTrackExtractor:
         pending = []
         budget = 8e9
         if total_bytes <= budget:
-            handles = [dispatch_one(p, s) for p, s, _ in subgroups]
+            handles = [self._dispatch_subgroup(prepped, p, s)
+                       for p, s, _ in subgroups]
         else:
             live = 0.0
             for p, s, b in subgroups:
                 if live + b <= budget or not handles:
-                    handles.append(dispatch_one(p, s))
+                    handles.append(self._dispatch_subgroup(prepped, p, s))
                     live += b
                 else:
                     pending.append((p, s, b))
         return (paths, prepped, handles, pending, start)
+
+    def _dispatch_subgroup(self, prepped, params, sub):
+        """Upload + dispatch one scan subgroup (single marshaling site for
+        the up-front and residency-deferred waves)."""
+        batch = [prepped[i] for i in sub]
+        with self._stage("upload+dispatch"):
+            return (
+                sub,
+                tracker_jax.track_clips_batch_dispatch(
+                    [b[3] for b in batch],
+                    [b[4] for b in batch],
+                    params,
+                    backgrounds=[b[5] for b in batch],
+                    deltas=[b[7] for b in batch],
+                ),
+            )
 
     def collect_batch(self, scan_handle) -> list:
         """Block on a dispatched batch scan and assemble ExtractResults.
@@ -328,19 +331,7 @@ class ClipTrackExtractor:
                 # previous subgroup's big device buffers are fetched; start
                 # the next wave
                 p, s, _b = pending.pop(0)
-                batch = [prepped[i] for i in s]
-                queue.append(
-                    (
-                        s,
-                        tracker_jax.track_clips_batch_dispatch(
-                            [b[3] for b in batch],
-                            [b[4] for b in batch],
-                            p,
-                            backgrounds=[b[5] for b in batch],
-                            deltas=[b[7] for b in batch],
-                        ),
-                    )
-                )
+                queue.append(self._dispatch_subgroup(prepped, p, s))
             for i, (rows, carry) in zip(idxs, scans):
                 clip, camera_model, params_i, thermal, ffc, _, clip_id = (
                     prepped[i][:7]

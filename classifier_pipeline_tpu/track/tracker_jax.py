@@ -1038,30 +1038,41 @@ def _decode_delta_u16(first_i32, resid_i8, shift_i32, exc_idx, exc_val):
     return th.astype(jnp.uint16)
 
 
+def _pad_common(thermals, ffcs, params, backgrounds, bucket):
+    """Shared padding semantics for every batch-upload variant: frame-count
+    bucket T, FFC-flagged padding mask (padding = FFC → emits no rows and
+    drops tracks, so padding cannot create or extend tracks), and the
+    stacked initial carries. Single definition so the raw-uint16, the
+    decoder-delta and the SPMD paths cannot diverge."""
+    B = len(thermals)
+    T = _round_up(max(t.shape[0] for t in thermals), bucket)
+    ffc_pad = np.ones((B, T), bool)  # padding = FFC (inert)
+    carries = []
+    for i, thermal in enumerate(thermals):
+        ffc_pad[i, : thermal.shape[0]] = ffcs[i]
+        bg = backgrounds[i] if backgrounds is not None else thermal[0]
+        carries.append(init_carry(params, bg))
+    carry0 = jax.tree.map(lambda *xs: np.stack(xs), *carries)
+    return T, ffc_pad, carry0
+
+
 def _pad_clip_batch(thermals, ffcs, params, backgrounds=None, bucket=32):
     """Pad a clip list to a common frame-count bucket and stack the carries.
 
-    Padding frames replicate each clip's LAST real frame and are FFC-flagged:
-    FFC steps emit no rows and drop tracks, so padding cannot create or
-    extend tracks, and replica padding keeps the background model at the
-    clip's final state (zero padding would drag it toward 0) while keeping
-    the compressed upload deltas tiny. Shared by the single-device dispatch
+    Padding frames replicate each clip's LAST real frame (zero padding
+    would drag the background model toward 0, and replicas keep the
+    compressed upload deltas tiny). Shared by the single-device dispatch
     and the mesh-sharded SPMD path so their semantics cannot diverge.
     """
     B = len(thermals)
-    T = _round_up(max(t.shape[0] for t in thermals), bucket)
+    T, ffc_pad, carry0 = _pad_common(thermals, ffcs, params, backgrounds,
+                                     bucket)
     H, W = params.res_y, params.res_x
     th = np.zeros((B, T, H, W), np.uint16)
-    ffc_pad = np.ones((B, T), bool)  # padding = FFC (inert)
-    carries = []
     for i, thermal in enumerate(thermals):
         t = thermal.shape[0]
         th[i, :t] = thermal  # assignment casts in place; no temp copy
         th[i, t:] = thermal[-1]
-        ffc_pad[i, :t] = ffcs[i]
-        bg = backgrounds[i] if backgrounds is not None else thermal[0]
-        carries.append(init_carry(params, bg))
-    carry0 = jax.tree.map(lambda *xs: np.stack(xs), *carries)
     return th, ffc_pad, carry0
 
 
@@ -1074,15 +1085,14 @@ def _pad_clip_batch_delta(thermals, ffcs, params, backgrounds, bucket, deltas):
     delta rows are exactly zero, so resid/shift stay zero-initialized there
     (same semantics as _pad_clip_batch's replica padding)."""
     B = len(thermals)
-    T = _round_up(max(t.shape[0] for t in thermals), bucket)
+    T, ffc_pad, carry0 = _pad_common(thermals, ffcs, params, backgrounds,
+                                     bucket)
     H, W = params.res_y, params.res_x
     HW = H * W
     first = np.empty((B, H, W), np.int32)
     resid = np.empty((B, T - 1, H, W), np.int8)  # padding rows zeroed below
     shift = np.zeros((B, T - 1), np.int32)
-    ffc_pad = np.ones((B, T), bool)  # padding = FFC (inert)
     exc_i, exc_v = [], []
-    carries = []
     for b, thermal in enumerate(thermals):
         t = thermal.shape[0]
         r, s, ei, ev = deltas[b]
@@ -1093,9 +1103,6 @@ def _pad_clip_batch_delta(thermals, ffcs, params, backgrounds, bucket, deltas):
         if len(ei):
             exc_i.append(ei.astype(np.int32) + np.int32(b * (T - 1) * HW))
             exc_v.append(ev)
-        ffc_pad[b, :t] = ffcs[b]
-        bg = backgrounds[b] if backgrounds is not None else thermal[0]
-        carries.append(init_carry(params, bg))
     n_exc = sum(len(e) for e in exc_i)
     K = _round_up(max(n_exc, 1), 4096)
     idx_p = np.zeros(K, np.int32)
@@ -1103,7 +1110,6 @@ def _pad_clip_batch_delta(thermals, ffcs, params, backgrounds, bucket, deltas):
     if n_exc:
         idx_p[:n_exc] = np.concatenate(exc_i)
         val_p[:n_exc] = np.concatenate(exc_v)
-    carry0 = jax.tree.map(lambda *xs: np.stack(xs), *carries)
     return (first, resid, shift, idx_p, val_p), ffc_pad, carry0
 
 
@@ -1194,6 +1200,10 @@ def track_clips_batch_dispatch(
         and deltas is not None
         and all(d is not None for d in deltas)
         and len(thermals) * (T - 1) * HW < 2**31
+        # pathological corpora (scene cuts, sensor glitches) can carry huge
+        # exception lists; past the same cap the re-encoder uses, raw or
+        # re-encoded upload is cheaper than resid + 8-byte/entry exceptions
+        and sum(len(d[2]) for d in deltas) <= (1 << 20)
     ):
         enc, ffc_pad, carry0 = _pad_clip_batch_delta(
             thermals, ffcs, params, backgrounds, bucket, deltas
