@@ -23,7 +23,10 @@ import numpy as np
 
 BASELINE_FPS = 450.0  # 50x real-time at 9 fps
 CLIPS_DIR = Path("/root/reference/tests/clips")
-BATCH = int(os.environ.get("BENCH_BATCH", "64"))
+# 128 measured best in-session vs 64/256 (1449 vs 937 fps same tunnel
+# session; 256 compiles longer and degrades run-to-run). Larger batches
+# amortize the per-chunk tunnel latency without outgrowing HBM residency.
+BATCH = int(os.environ.get("BENCH_BATCH", "128"))
 # The remote-TPU tunnel occasionally drops mid-session; a wedged client
 # blocks forever (no error surfaces). The outer process runs the real bench
 # as a watchdogged subprocess and retries on hang/failure with a fresh
