@@ -42,7 +42,9 @@
 #include <utility>
 #include <vector>
 #include <zlib.h>
+#ifdef USE_LIBDEFLATE
 #include <libdeflate.h>
+#endif
 #if defined(__AVX2__)
 #include <immintrin.h>
 #endif
@@ -120,6 +122,11 @@ bool gunzip_all_zlib(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
   return true;
 }
 
+#ifndef USE_LIBDEFLATE
+bool gunzip_all(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
+  return gunzip_all_zlib(src, n, out);
+}
+#else
 // libdeflate inflate (~2x zlib on this host; inflate is ~40% of decode
 // time). One-shot into a buffer sized from the gzip ISIZE trailer (exact
 // for the single-member streams CPTV writers emit); doubling retry +
@@ -160,6 +167,7 @@ bool gunzip_all(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
   out.resize(logical);
   return logical > 0;
 }
+#endif  // USE_LIBDEFLATE
 
 class FieldParser {
  public:
