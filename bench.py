@@ -39,6 +39,17 @@ def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def _is_result(line):
+    # a SIGKILLed child can leave a truncated line in the pipe; only a
+    # complete JSON object counts as a salvageable result
+    if not line.startswith("{"):
+        return False
+    try:
+        return "metric" in json.loads(line)
+    except ValueError:
+        return False
+
+
 def outer():
     for attempt in range(1 + RETRIES):
         try:
@@ -51,7 +62,7 @@ def outer():
             # the wedge can hit during client teardown AFTER the result
             # printed — salvage a complete measurement from partial stdout
             partial = (exc.stdout or b"").decode(errors="replace")
-            lines = [l for l in partial.splitlines() if l.startswith("{")]
+            lines = [l for l in partial.splitlines() if _is_result(l)]
             if lines:
                 log("bench: inner hung at teardown but had printed a result")
                 print(lines[-1])
@@ -61,7 +72,7 @@ def outer():
             continue
         lines = [
             l for l in out.stdout.decode().splitlines()
-            if l.startswith("{")
+            if _is_result(l)
         ]
         if out.returncode == 0 and lines:
             print(lines[-1])
@@ -117,7 +128,11 @@ def main():
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / BASELINE_FPS, 3),
             }
-        )
+        ),
+        # unflushed, the result can die in the pipe buffer if the tunnel
+        # wedges the client during teardown (outer() then retries a
+        # completed measurement)
+        flush=True,
     )
     return 0
 

@@ -135,13 +135,22 @@ bool gunzip_all(const uint8_t* src, size_t n, std::vector<uint8_t>& out) {
   libdeflate_decompressor* d = libdeflate_alloc_decompressor();
   if (d == nullptr) return gunzip_all_zlib(src, n, out);
   size_t hint = n >= 18 ? read_le<uint32_t>(src + n - 4) : 0;
-  if (hint < n) hint = n * 6 + 64;  // implausible trailer; size heuristically
+  // implausible trailer (corrupt/truncated file, or >1000:1 ratio): size
+  // heuristically rather than trusting ISIZE with a multi-GB resize
+  if (hint < n || hint > n * 1000 + (1 << 20)) hint = n * 6 + 64;
   out.clear();
   size_t logical = 0, in_pos = 0;
   while (in_pos < n) {
     size_t cap = hint + 64;
     for (;;) {
-      out.resize(logical + cap);
+      try {
+        out.resize(logical + cap);
+      } catch (const std::bad_alloc&) {
+        // don't let OOM escape the extern-C boundary; the streaming zlib
+        // path reports failure cleanly
+        libdeflate_free_decompressor(d);
+        return gunzip_all_zlib(src, n, out);
+      }
       size_t actual_in = 0, actual_out = 0;
       libdeflate_result r = libdeflate_gzip_decompress_ex(
           d, src + in_pos, n - in_pos, out.data() + logical, cap,
@@ -323,6 +332,12 @@ int64_t decode_frame_data_scalar(const uint8_t* data, size_t size, int w_bits,
             while (nbits <= 56 && bytepos < nbytes) {
               bitbuf = (bitbuf << 8) | packed[bytepos++];
               nbits += 8;
+            }
+            if (nbits < w_bits) {
+              // truncated payload (fewer packed bits than npix values):
+              // zero-pad the tail instead of shifting by a negative count
+              bitbuf <<= (w_bits - nbits);
+              nbits = w_bits;
             }
           }
         }

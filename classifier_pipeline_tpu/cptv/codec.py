@@ -240,18 +240,26 @@ class CptvClip:
     def n_frames(self) -> int:
         return self.pixels.shape[0]
 
-    def foreground(self):
-        """(pixels, meta) excluding background frames. Returns VIEWS when
-        the background frames form a leading prefix (the normal layout — a
-        CPTV's background frame is frame 0), avoiding a (T, H, W) copy on
-        every access; falls back to fancy indexing otherwise."""
+    def leading_background_count(self):
+        """Number of background frames when they form a contiguous leading
+        prefix (the normal layout — a CPTV's background frame is frame 0),
+        else None. Shared by foreground() and the delta-stream slicing in
+        the extractor so frame selection can never desync between the
+        thermal view and the sliced delta stream."""
         bg = self.is_background
         nbg = int(bg.sum())
+        return nbg if nbg == 0 or bg[:nbg].all() else None
+
+    def foreground(self):
+        """(pixels, meta) excluding background frames. Returns VIEWS when
+        the background frames are a leading prefix, avoiding a (T, H, W)
+        copy on every access; falls back to fancy indexing otherwise."""
+        nbg = self.leading_background_count()
         if nbg == 0:
             return self.pixels, self._meta
-        if bg[:nbg].all():  # contiguous leading background frames
+        if nbg is not None:
             return self.pixels[nbg:], self._meta[nbg:]
-        keep = ~bg
+        keep = ~self.is_background
         return self.pixels[keep], self._meta[keep]
 
     @property

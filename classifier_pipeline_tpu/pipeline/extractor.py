@@ -192,9 +192,10 @@ class ClipTrackExtractor:
             return None
         if process_background:
             return d
-        bg = clip.is_background
-        nbg = int(bg.sum())
-        if nbg and not bg[:nbg].all():
+        # same frame-selection helper as CptvClip.foreground(): the sliced
+        # delta stream must describe exactly the thermal view's frames
+        nbg = clip.leading_background_count()
+        if nbg is None:
             return None  # fancy-indexed foreground: delta chain broken
         resid, shift, ei, ev = d
         if nbg == 0:
@@ -226,7 +227,11 @@ class ClipTrackExtractor:
         for _ in paths:
             self._clip_id += 1
             clip_ids.append(self._clip_id)
-        workers = min(8, len(paths), os.cpu_count() or 1)
+        try:
+            n_cpus = len(os.sched_getaffinity(0))  # respects pinning/cgroups
+        except AttributeError:  # pragma: no cover - non-Linux
+            n_cpus = os.cpu_count() or 1
+        workers = min(8, len(paths), n_cpus)
         with self._stage("decode"):
             if workers <= 1:
                 # single-core host: pooled decode is pure context-switch
