@@ -280,6 +280,94 @@ static void prefix_sum_avx2(int32_t* vals, int n) {
     vals[i] = c;
   }
 }
+
+static int64_t sum_i32_as_i64_avx2(const int32_t* v, int n) {
+  __m256i acc = _mm256_setzero_si256();  // 4 x int64 partials
+  int i = 0;
+  for (; i + 8 <= n; i += 8) {
+    __m256i x = _mm256_loadu_si256((const __m256i*)(v + i));
+    acc = _mm256_add_epi64(
+        acc, _mm256_cvtepi32_epi64(_mm256_castsi256_si128(x)));
+    acc = _mm256_add_epi64(
+        acc, _mm256_cvtepi32_epi64(_mm256_extracti128_si256(x, 1)));
+  }
+  alignas(32) int64_t tmp[4];
+  _mm256_store_si256((__m256i*)tmp, acc);
+  int64_t s = tmp[0] + tmp[1] + tmp[2] + tmp[3];
+  for (; i < n; i++) s += v[i];
+  return s;
+}
+
+// Fused row pass over one frame's prefix-summed snake values: snake
+// un-reversal + uint16 reconstruction (prev + delta, mod 2^16) + int8
+// residual emission (delta - shift, clamped, exceptions appended in
+// row-major order) in a single sweep. Replaces three separate scans (out
+// rows, dsum re-scan, scalar resid pass) — bit-identical to them.
+static void fused_rows_avx2(const int32_t* vals, const uint16_t* prev,
+                            uint16_t* out, int8_t* resid, int32_t s,
+                            int width, int height, int64_t base_idx,
+                            std::vector<int32_t>& exc_idx,
+                            std::vector<int32_t>& exc_val) {
+  const __m256i rev = _mm256_setr_epi32(7, 6, 5, 4, 3, 2, 1, 0);
+  const __m256i vs = _mm256_set1_epi32(s);
+  const __m256i lo16 = _mm256_set1_epi32(0xFFFF);
+  const __m256i cmin = _mm256_set1_epi32(-127);
+  const __m256i cmax = _mm256_set1_epi32(127);
+  for (int row = 0; row < height; row++) {
+    const int32_t* vrow = vals + (size_t)row * width;
+    const uint16_t* prow = prev + (size_t)row * width;
+    uint16_t* orow = out + (size_t)row * width;
+    int8_t* rrow = resid + (size_t)row * width;
+    const bool revrow = row & 1;
+    int c = 0;
+    for (; c + 8 <= width; c += 8) {
+      __m256i d;
+      if (revrow) {
+        // output cols c..c+7 read vrow[w-1-c .. w-8-c]
+        d = _mm256_loadu_si256((const __m256i*)(vrow + width - 8 - c));
+        d = _mm256_permutevar8x32_epi32(d, rev);
+      } else {
+        d = _mm256_loadu_si256((const __m256i*)(vrow + c));
+      }
+      __m256i p = _mm256_cvtepu16_epi32(
+          _mm_loadu_si128((const __m128i*)(prow + c)));
+      __m256i o = _mm256_and_si256(_mm256_add_epi32(p, d), lo16);
+      // packus saturation can't trigger: values already masked to 16 bits
+      __m128i o16 = _mm_packus_epi32(_mm256_castsi256_si128(o),
+                                     _mm256_extracti128_si256(o, 1));
+      _mm_storeu_si128((__m128i*)(orow + c), o16);
+      __m256i dm = _mm256_sub_epi32(d, vs);
+      __m256i cl = _mm256_min_epi32(_mm256_max_epi32(dm, cmin), cmax);
+      __m128i w16 = _mm_packs_epi32(_mm256_castsi256_si128(cl),
+                                    _mm256_extracti128_si256(cl, 1));
+      __m128i b8 = _mm_packs_epi16(w16, w16);
+      _mm_storel_epi64((__m128i*)(rrow + c), b8);
+      __m256i eq = _mm256_cmpeq_epi32(dm, cl);
+      if (_mm256_movemask_epi8(eq) != -1) {  // rare: clamped residual(s)
+        alignas(32) int32_t dd[8], cc[8];
+        _mm256_store_si256((__m256i*)dd, dm);
+        _mm256_store_si256((__m256i*)cc, cl);
+        for (int k = 0; k < 8; k++)
+          if (dd[k] != cc[k]) {
+            exc_idx.push_back(
+                (int32_t)(base_idx + (int64_t)row * width + c + k));
+            exc_val.push_back(dd[k] - cc[k]);
+          }
+      }
+    }
+    for (; c < width; c++) {  // width % 8 tail
+      int32_t dv = revrow ? vrow[width - 1 - c] : vrow[c];
+      orow[c] = (uint16_t)((int32_t)prow[c] + dv);
+      int32_t dm = dv - s;
+      int32_t cl = dm < -127 ? -127 : (dm > 127 ? 127 : dm);
+      rrow[c] = (int8_t)cl;
+      if (dm != cl) {
+        exc_idx.push_back((int32_t)(base_idx + (int64_t)row * width + c));
+        exc_val.push_back(dm - cl);
+      }
+    }
+  }
+}
 #endif  // __AVX2__
 
 // Decodes one frame's packed data into `out` given the previous frame.
@@ -522,35 +610,54 @@ void* cptv_open(const uint8_t* buf, size_t size) {
     // resize so a realloc can't invalidate it
     const uint16_t* prevp =
         r->n_frames == 0 ? nullptr : r->pixels.data() + base - npix;
-    int64_t dsum = decode_frame_data(data.data() + pos, fsize, w_bits, W, H,
-                                     prevp, r->pixels.data() + base,
-                                     dscratch.data(), vals.data());
-    if (r->n_frames > 0) {
-      // fold this frame's deltas into the upload stream while they're hot
-      const int fi = r->n_frames - 1;  // resid/shift row index
-      if ((int64_t)(fi + 1) * npix > INT32_MAX) r->delta_overflow = true;
-      if (r->delta_overflow) {
-        // flat exception indices no longer fit int32 (~3.4h clip at
-        // 160x120) — the stream is unusable; callers fall back to the
-        // batch re-encoder (cptv_num_exceptions reports -1)
-        r->metas.push_back(meta);
-        r->n_frames++;
-        pos += fsize;
-        continue;
-      }
+    const int fi = r->n_frames - 1;  // resid/shift row index (frames >= 1)
+    if (r->n_frames > 0 && (int64_t)(fi + 1) * npix > INT32_MAX)
+      r->delta_overflow = true;
+    bool fused = false;
+#if defined(__AVX2__)
+    if (r->n_frames > 0 && !r->delta_overflow && w_bits >= 2 &&
+        w_bits <= 24 && fsize >= 4) {
+      // fused fast path: one sweep produces the uint16 frame AND the
+      // upload residual stream; no dscratch materialization or re-scan
+      int32_t* v = vals.data();
+      v[0] = read_le<int32_t>(data.data() + pos);
+      unpack_bits_avx2(data.data() + pos + 4, fsize - 4, npix - 1, w_bits,
+                       v + 1);
+      prefix_sum_avx2(v, npix);  // snake-order per-pixel frame deltas
+      const int64_t dsum = sum_i32_as_i64_avx2(v, npix);
       const int32_t s =
           static_cast<int32_t>(llround(static_cast<double>(dsum) / npix));
       r->shift.push_back(s);
       r->resid.resize(static_cast<size_t>(fi + 1) * npix);
-      int8_t* rr = r->resid.data() + static_cast<size_t>(fi) * npix;
-      const int32_t* dd = dscratch.data();
-      for (int i = 0; i < npix; i++) {
-        int32_t d = dd[i] - s;
-        int32_t c = d < -127 ? -127 : (d > 127 ? 127 : d);
-        rr[i] = static_cast<int8_t>(c);
-        if (d != c) {
-          r->exc_idx.push_back(fi * npix + i);
-          r->exc_val.push_back(d - c);
+      fused_rows_avx2(v, prevp, r->pixels.data() + base,
+                      r->resid.data() + static_cast<size_t>(fi) * npix, s,
+                      W, H, (int64_t)fi * npix, r->exc_idx, r->exc_val);
+      fused = true;
+    }
+#endif
+    if (!fused) {
+      int64_t dsum = decode_frame_data(data.data() + pos, fsize, w_bits, W,
+                                       H, prevp, r->pixels.data() + base,
+                                       dscratch.data(), vals.data());
+      if (r->n_frames > 0 && !r->delta_overflow) {
+        // fold this frame's deltas into the upload stream while they're
+        // hot. (On delta_overflow — flat exception indices past int32,
+        // ~3.4h clip at 160x120 — the stream is unusable; callers fall
+        // back to the batch re-encoder, cptv_num_exceptions reports -1.)
+        const int32_t s =
+            static_cast<int32_t>(llround(static_cast<double>(dsum) / npix));
+        r->shift.push_back(s);
+        r->resid.resize(static_cast<size_t>(fi + 1) * npix);
+        int8_t* rr = r->resid.data() + static_cast<size_t>(fi) * npix;
+        const int32_t* dd = dscratch.data();
+        for (int i = 0; i < npix; i++) {
+          int32_t d = dd[i] - s;
+          int32_t c = d < -127 ? -127 : (d > 127 ? 127 : d);
+          rr[i] = static_cast<int8_t>(c);
+          if (d != c) {
+            r->exc_idx.push_back(fi * npix + i);
+            r->exc_val.push_back(d - c);
+          }
         }
       }
     }
