@@ -279,13 +279,13 @@ def connected_components_stats(
         lab1 = relax(lab0)
         lab, _, _ = jax.lax.while_loop(cond, body, (lab1, lab0, jnp.int32(0)))
 
-    # Representative labels = min pixel index per component. Collect the first
-    # K in ascending label order via a scatter-min histogram trick: mark which
-    # labels exist, then top-k of negated.
+    # Representative labels = min pixel index per component, so label L is
+    # present iff the pixel AT flat index L carries label L (the component's
+    # min pixel labels itself). An elementwise compare replaces the scatter
+    # the TPU would otherwise lower to a full sort (~2ms/step at B=16).
     K = max_components
     flat = lab.reshape(-1)
-    present = jnp.zeros((H * W + 1,), jnp.bool_).at[flat].set(True)
-    present = present[:-1]  # drop BIG bucket
+    present = flat == jnp.arange(H * W, dtype=flat.dtype)
     n_components = jnp.sum(present.astype(jnp.int32))
     overflow = jnp.maximum(n_components - K, 0)
     # first K present label values, ascending
