@@ -30,6 +30,31 @@ from jax.experimental.pallas import tpu as pltpu
 H_PARAM = 3.0
 TEMPLATE = 7
 SEARCH = 21
+_N_PARTIAL = 4  # round-robin accumulators: break the 441-long serial chain
+
+
+def _box7_rows_tree(d2, H, Wk):
+    """Row box-sum of 7 via shift-doubling (win 7 = 4 + 2 + 1): 4 adds and
+    4 sublane shifts instead of 6 each, and a log-depth dependency chain.
+    Float reassociation vs the sequential version is parity-safe (verified
+    by an accumulation-order probe against the golden tracking output)."""
+    a = jax.lax.slice(d2, (0, 0), (H + 5, Wk)) + jax.lax.slice(
+        d2, (1, 0), (H + 6, Wk))
+    b = jax.lax.slice(a, (0, 0), (H + 3, Wk)) + jax.lax.slice(
+        a, (2, 0), (H + 5, Wk))
+    return (jax.lax.slice(b, (0, 0), (H, Wk))
+            + jax.lax.slice(a, (4, 0), (H + 4, Wk))[:H]
+            + jax.lax.slice(d2, (6, 0), (H + 6, Wk))[:H])
+
+
+def _box7_cols_tree(rb, H, Wc):
+    a = jax.lax.slice(rb, (0, 0), (H, Wc + 5)) + jax.lax.slice(
+        rb, (0, 1), (H, Wc + 6))
+    b = jax.lax.slice(a, (0, 0), (H, Wc + 3)) + jax.lax.slice(
+        a, (0, 2), (H, Wc + 5))
+    return (jax.lax.slice(b, (0, 0), (H, Wc))
+            + jax.lax.slice(a, (0, 4), (H, Wc + 4))[:, :Wc]
+            + jax.lax.slice(rb, (0, 6), (H, Wc + 6))[:, :Wc])
 
 
 def _kernel(shifts_ref, out_ref, *, H, W, TEMPLATE=TEMPLATE, SEARCH=SEARCH):
@@ -41,27 +66,33 @@ def _kernel(shifts_ref, out_ref, *, H, W, TEMPLATE=TEMPLATE, SEARCH=SEARCH):
     base = shifts_ref[0, hs, :, hs : hs + Wb]
 
     def row_body(dy, carry):
-        num, den = carry
         row = shifts_ref[0, dy]  # (Hb, W + 2p): leading-dim dynamic index
-
+        nums = list(carry[:_N_PARTIAL])
+        dens = list(carry[_N_PARTIAL:])
         for dx in range(SEARCH):
             sh = jax.lax.slice(row, (0, dx), (Hb, dx + Wb))
             d2 = (sh - base) ** 2
-            rb = jax.lax.slice(d2, (0, 0), (H, Wb))
-            for r in range(1, TEMPLATE):
-                rb = rb + jax.lax.slice(d2, (r, 0), (r + H, Wb))
-            cb = jax.lax.slice(rb, (0, 0), (H, W))
-            for c in range(1, TEMPLATE):
-                cb = cb + jax.lax.slice(rb, (0, c), (H, c + W))
+            if TEMPLATE == 7:
+                rb = _box7_rows_tree(d2, H, Wb)
+                cb = _box7_cols_tree(rb, H, W)
+            else:  # pragma: no cover - generic path for test params
+                rb = jax.lax.slice(d2, (0, 0), (H, Wb))
+                for r in range(1, TEMPLATE):
+                    rb = rb + jax.lax.slice(d2, (r, 0), (r + H, Wb))
+                cb = jax.lax.slice(rb, (0, 0), (H, W))
+                for c in range(1, TEMPLATE):
+                    cb = cb + jax.lax.slice(rb, (0, c), (H, c + W))
             w = jnp.exp(cb * inv)
             centre = jax.lax.slice(sh, (ts, ts), (ts + H, ts + W))
-            num = num + w * centre
-            den = den + w
-        return num, den
+            i = dx % _N_PARTIAL
+            nums[i] = nums[i] + w * centre
+            dens[i] = dens[i] + w
+        return tuple(nums) + tuple(dens)
 
-    num0 = jnp.zeros((H, W), jnp.float32)
-    den0 = jnp.zeros((H, W), jnp.float32)
-    num, den = jax.lax.fori_loop(0, SEARCH, row_body, (num0, den0))
+    z = jnp.zeros((H, W), jnp.float32)
+    res = jax.lax.fori_loop(0, SEARCH, row_body, (z,) * (2 * _N_PARTIAL))
+    num = (res[0] + res[1]) + (res[2] + res[3])
+    den = (res[4] + res[5]) + (res[6] + res[7])
     out = num / den
     out_ref[0] = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.int32)
 
@@ -140,29 +171,36 @@ def _kernel_packed(shifts_ref, out_ref, *, H, W, seg, TEMPLATE=TEMPLATE, SEARCH=
     Wb = W + 2 * ts
     Wk = seg + Wb  # packed working width: both windows + junk gap
     base = shifts_ref[0, hs, :, hs : hs + Wk]
+    Wc = Wk - 2 * ts
 
     def row_body(dy, carry):
-        num, den = carry
         row = shifts_ref[0, dy]
-
+        nums = list(carry[:_N_PARTIAL])
+        dens = list(carry[_N_PARTIAL:])
         for dx in range(SEARCH):
             sh = jax.lax.slice(row, (0, dx), (Hb, dx + Wk))
             d2 = (sh - base) ** 2
-            rb = jax.lax.slice(d2, (0, 0), (H, Wk))
-            for r in range(1, TEMPLATE):
-                rb = rb + jax.lax.slice(d2, (r, 0), (r + H, Wk))
-            cb = jax.lax.slice(rb, (0, 0), (H, Wk - 2 * ts))
-            for c in range(1, TEMPLATE):
-                cb = cb + jax.lax.slice(rb, (0, c), (H, c + Wk - 2 * ts))
+            if TEMPLATE == 7:
+                rb = _box7_rows_tree(d2, H, Wk)
+                cb = _box7_cols_tree(rb, H, Wc)
+            else:  # pragma: no cover - generic path for test params
+                rb = jax.lax.slice(d2, (0, 0), (H, Wk))
+                for r in range(1, TEMPLATE):
+                    rb = rb + jax.lax.slice(d2, (r, 0), (r + H, Wk))
+                cb = jax.lax.slice(rb, (0, 0), (H, Wc))
+                for c in range(1, TEMPLATE):
+                    cb = cb + jax.lax.slice(rb, (0, c), (H, c + Wc))
             w = jnp.exp(cb * inv)
-            centre = jax.lax.slice(sh, (ts, ts), (ts + H, ts + Wk - 2 * ts))
-            num = num + w * centre
-            den = den + w
-        return num, den
+            centre = jax.lax.slice(sh, (ts, ts), (ts + H, ts + Wc))
+            i = dx % _N_PARTIAL
+            nums[i] = nums[i] + w * centre
+            dens[i] = dens[i] + w
+        return tuple(nums) + tuple(dens)
 
-    num0 = jnp.zeros((H, Wk - 2 * ts), jnp.float32)
-    den0 = jnp.zeros((H, Wk - 2 * ts), jnp.float32)
-    num, den = jax.lax.fori_loop(0, SEARCH, row_body, (num0, den0))
+    z = jnp.zeros((H, Wc), jnp.float32)
+    res = jax.lax.fori_loop(0, SEARCH, row_body, (z,) * (2 * _N_PARTIAL))
+    num = (res[0] + res[1]) + (res[2] + res[3])
+    den = (res[4] + res[5]) + (res[6] + res[7])
     out = num / den
     out = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.int32)
     out_ref[0, 0] = jax.lax.slice(out, (0, 0), (H, W))
