@@ -184,3 +184,61 @@ def test_foreground_delta_slice_matches_reencode(possum_cptv):
     b = rec(first.reshape(1, *thermal.shape[1:]), resid2, shift2, ei2, ev2)
     assert (a == b).all()
     assert (a == thermal).all()
+
+
+def test_truncated_frame_payload_no_crash(tmp_path):
+    """A frame whose packed payload holds fewer bits than npix values must
+    decode without UB/crash (the decoder zero-pads the missing tail —
+    cptv_codec.cpp scalar refill guard + unpack_bits_avx2 scalar tail)."""
+    import gzip
+    import struct
+
+    def field(code, payload):
+        return bytes([len(payload), ord(code)]) + payload
+
+    W = H = 8
+
+    def section(kind, fields):
+        return kind + bytes([len(fields)]) + b"".join(fields)
+
+    header = section(
+        b"H",
+        [field("X", struct.pack("<I", W)), field("Y", struct.pack("<I", H))],
+    )
+    # frame 0: initial value 100, all 63 remaining deltas 0 at 2 bits
+    f0_data = struct.pack("<i", 100) + bytes((63 * 2 + 7) // 8)
+    f0 = section(
+        b"F",
+        [
+            field("t", struct.pack("<I", 1000)),
+            field("c", struct.pack("<I", 0)),
+            field("w", bytes([2])),
+            field("f", struct.pack("<I", len(f0_data))),
+        ],
+    ) + f0_data
+    # frame 1: declares 8-bit fields but supplies only 10 of 63 bytes
+    f1_data = struct.pack("<i", 1) + bytes([1] * 10)
+    f1 = section(
+        b"F",
+        [
+            field("t", struct.pack("<I", 2000)),
+            field("c", struct.pack("<I", 0)),
+            field("w", bytes([8])),
+            field("f", struct.pack("<I", len(f1_data))),
+        ],
+    ) + f1_data
+    raw = b"CPTV\x02" + header + f0 + f1
+    path = tmp_path / "truncated.cptv"
+    path.write_bytes(gzip.compress(raw))
+
+    clip = load_cptv(path, backend="native")
+    assert clip.pixels.shape == (2, H, W)
+    assert (clip.pixels[0] == 100).all()
+    # frame 1 decodes deterministically (zero-padded tail) and the delta
+    # stream reconstructs it exactly
+    resid, shift, ei, ev = clip.delta
+    rec = resid.astype(np.int64) + shift[:, None, None]
+    flat = rec.reshape(-1)
+    flat[ei] += ev
+    out1 = (clip.pixels[0].astype(np.int64) + rec[0]).astype(np.uint16)
+    np.testing.assert_array_equal(out1, clip.pixels[1])
