@@ -50,7 +50,34 @@ def _is_result(line):
         return False
 
 
+def _tunnel_up(timeout_s=75):
+    """Quick probe: can we run one tiny op on the device? A wedged/down
+    tunnel hangs silently, so this runs in a short-timeout subprocess."""
+    code = (
+        "import jax, jax.numpy as jnp;"
+        "x = jnp.ones((8, 8)); print(float((x @ x).sum()))"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+            timeout=timeout_s,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def outer():
+    # The relay tunnel to the TPU occasionally drops for many minutes. A
+    # cheap preflight avoids burning a full INNER_TIMEOUT on a silent hang
+    # and waits (bounded) for the tunnel to come back before measuring.
+    for wait in range(10):
+        if _tunnel_up():
+            break
+        log(f"bench: device tunnel down (probe {wait}); retrying in 120s")
+        time.sleep(120)
     for attempt in range(1 + RETRIES):
         try:
             out = subprocess.run(
