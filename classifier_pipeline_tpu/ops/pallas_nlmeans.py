@@ -30,7 +30,12 @@ from jax.experimental.pallas import tpu as pltpu
 H_PARAM = 3.0
 TEMPLATE = 7
 SEARCH = 21
-_N_PARTIAL = 4  # round-robin accumulators: break the 441-long serial chain
+_N_PARTIAL = 8  # round-robin accumulators: break the 441-long serial chain
+_DY_UNROLL = 3  # dy rows per fori iteration (Mosaic pipelines across rows)
+
+
+def _dy_unroll(search):
+    return _DY_UNROLL if search % _DY_UNROLL == 0 else 1
 
 
 def _box7_rows_tree(d2, H, Wk):
@@ -65,34 +70,45 @@ def _kernel(shifts_ref, out_ref, *, H, W, TEMPLATE=TEMPLATE, SEARCH=SEARCH):
     # base = un-shifted (dy=hs) rows at column offset hs
     base = shifts_ref[0, hs, :, hs : hs + Wb]
 
-    def row_body(dy, carry):
-        row = shifts_ref[0, dy]  # (Hb, W + 2p): leading-dim dynamic index
+    DYU = _dy_unroll(SEARCH)
+
+    def row_body(it, carry):
         nums = list(carry[:_N_PARTIAL])
         dens = list(carry[_N_PARTIAL:])
-        for dx in range(SEARCH):
-            sh = jax.lax.slice(row, (0, dx), (Hb, dx + Wb))
-            d2 = (sh - base) ** 2
-            if TEMPLATE == 7:
-                rb = _box7_rows_tree(d2, H, Wb)
-                cb = _box7_cols_tree(rb, H, W)
-            else:  # pragma: no cover - generic path for test params
-                rb = jax.lax.slice(d2, (0, 0), (H, Wb))
-                for r in range(1, TEMPLATE):
-                    rb = rb + jax.lax.slice(d2, (r, 0), (r + H, Wb))
-                cb = jax.lax.slice(rb, (0, 0), (H, W))
-                for c in range(1, TEMPLATE):
-                    cb = cb + jax.lax.slice(rb, (0, c), (H, c + W))
-            w = jnp.exp(cb * inv)
-            centre = jax.lax.slice(sh, (ts, ts), (ts + H, ts + W))
-            i = dx % _N_PARTIAL
-            nums[i] = nums[i] + w * centre
-            dens[i] = dens[i] + w
+        k = 0
+        for j in range(DYU):
+            # (Hb, W + 2p): leading-dim dynamic index
+            row = shifts_ref[0, it * DYU + j]
+            for dx in range(SEARCH):
+                sh = jax.lax.slice(row, (0, dx), (Hb, dx + Wb))
+                d2 = (sh - base) ** 2
+                if TEMPLATE == 7:
+                    rb = _box7_rows_tree(d2, H, Wb)
+                    cb = _box7_cols_tree(rb, H, W)
+                else:  # pragma: no cover - generic path for test params
+                    rb = jax.lax.slice(d2, (0, 0), (H, Wb))
+                    for r in range(1, TEMPLATE):
+                        rb = rb + jax.lax.slice(d2, (r, 0), (r + H, Wb))
+                    cb = jax.lax.slice(rb, (0, 0), (H, W))
+                    for c in range(1, TEMPLATE):
+                        cb = cb + jax.lax.slice(rb, (0, c), (H, c + W))
+                w = jnp.exp(cb * inv)
+                centre = jax.lax.slice(sh, (ts, ts), (ts + H, ts + W))
+                i = k % _N_PARTIAL
+                nums[i] = nums[i] + w * centre
+                dens[i] = dens[i] + w
+                k += 1
         return tuple(nums) + tuple(dens)
 
     z = jnp.zeros((H, W), jnp.float32)
-    res = jax.lax.fori_loop(0, SEARCH, row_body, (z,) * (2 * _N_PARTIAL))
-    num = (res[0] + res[1]) + (res[2] + res[3])
-    den = (res[4] + res[5]) + (res[6] + res[7])
+    res = jax.lax.fori_loop(0, SEARCH // DYU, row_body,
+                            (z,) * (2 * _N_PARTIAL))
+    num = res[0]
+    for t in res[1:_N_PARTIAL]:
+        num = num + t
+    den = res[_N_PARTIAL]
+    for t in res[_N_PARTIAL + 1:]:
+        den = den + t
     out = num / den
     out_ref[0] = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.int32)
 
@@ -150,6 +166,11 @@ def nl_means_denoise_u8_pallas(img_batch: jax.Array, *, TEMPLATE=TEMPLATE,
             (1, H, W), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, H, W), jnp.int32),
+        # the unrolled body + 8 partial accumulators exceed the default
+        # 16M scoped-vmem budget; v5e has 128M physical VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )(shifts)
 
 
@@ -172,35 +193,44 @@ def _kernel_packed(shifts_ref, out_ref, *, H, W, seg, TEMPLATE=TEMPLATE, SEARCH=
     Wk = seg + Wb  # packed working width: both windows + junk gap
     base = shifts_ref[0, hs, :, hs : hs + Wk]
     Wc = Wk - 2 * ts
+    DYU = _dy_unroll(SEARCH)
 
-    def row_body(dy, carry):
-        row = shifts_ref[0, dy]
+    def row_body(it, carry):
         nums = list(carry[:_N_PARTIAL])
         dens = list(carry[_N_PARTIAL:])
-        for dx in range(SEARCH):
-            sh = jax.lax.slice(row, (0, dx), (Hb, dx + Wk))
-            d2 = (sh - base) ** 2
-            if TEMPLATE == 7:
-                rb = _box7_rows_tree(d2, H, Wk)
-                cb = _box7_cols_tree(rb, H, Wc)
-            else:  # pragma: no cover - generic path for test params
-                rb = jax.lax.slice(d2, (0, 0), (H, Wk))
-                for r in range(1, TEMPLATE):
-                    rb = rb + jax.lax.slice(d2, (r, 0), (r + H, Wk))
-                cb = jax.lax.slice(rb, (0, 0), (H, Wc))
-                for c in range(1, TEMPLATE):
-                    cb = cb + jax.lax.slice(rb, (0, c), (H, c + Wc))
-            w = jnp.exp(cb * inv)
-            centre = jax.lax.slice(sh, (ts, ts), (ts + H, ts + Wc))
-            i = dx % _N_PARTIAL
-            nums[i] = nums[i] + w * centre
-            dens[i] = dens[i] + w
+        k = 0
+        for j in range(DYU):
+            row = shifts_ref[0, it * DYU + j]
+            for dx in range(SEARCH):
+                sh = jax.lax.slice(row, (0, dx), (Hb, dx + Wk))
+                d2 = (sh - base) ** 2
+                if TEMPLATE == 7:
+                    rb = _box7_rows_tree(d2, H, Wk)
+                    cb = _box7_cols_tree(rb, H, Wc)
+                else:  # pragma: no cover - generic path for test params
+                    rb = jax.lax.slice(d2, (0, 0), (H, Wk))
+                    for r in range(1, TEMPLATE):
+                        rb = rb + jax.lax.slice(d2, (r, 0), (r + H, Wk))
+                    cb = jax.lax.slice(rb, (0, 0), (H, Wc))
+                    for c in range(1, TEMPLATE):
+                        cb = cb + jax.lax.slice(rb, (0, c), (H, c + Wc))
+                w = jnp.exp(cb * inv)
+                centre = jax.lax.slice(sh, (ts, ts), (ts + H, ts + Wc))
+                i = k % _N_PARTIAL
+                nums[i] = nums[i] + w * centre
+                dens[i] = dens[i] + w
+                k += 1
         return tuple(nums) + tuple(dens)
 
     z = jnp.zeros((H, Wc), jnp.float32)
-    res = jax.lax.fori_loop(0, SEARCH, row_body, (z,) * (2 * _N_PARTIAL))
-    num = (res[0] + res[1]) + (res[2] + res[3])
-    den = (res[4] + res[5]) + (res[6] + res[7])
+    res = jax.lax.fori_loop(0, SEARCH // DYU, row_body,
+                            (z,) * (2 * _N_PARTIAL))
+    num = res[0]
+    for t in res[1:_N_PARTIAL]:
+        num = num + t
+    den = res[_N_PARTIAL]
+    for t in res[_N_PARTIAL + 1:]:
+        den = den + t
     out = num / den
     out = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.int32)
     out_ref[0, 0] = jax.lax.slice(out, (0, 0), (H, W))
@@ -244,5 +274,8 @@ def nl_means_denoise_u8_pallas_packed(img_batch: jax.Array, *,
             (1, 2, H, W), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((Bp // 2, 2, H, W), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
     )(shifts)
     return out.reshape(Bp, H, W)[:B]
