@@ -50,11 +50,16 @@ def _is_result(line):
         return False
 
 
-def _tunnel_up(timeout_s=75):
+def _tunnel_up(timeout_s):
     """Quick probe: can we run one tiny op on the device? A wedged/down
-    tunnel hangs silently, so this runs in a short-timeout subprocess."""
+    tunnel hangs silently, so this runs in a short-timeout subprocess.
+    The probe inherits the persistent compile cache so a healthy-but-slow
+    remote compile service isn't mistaken for a dead tunnel."""
     code = (
-        "import jax, jax.numpy as jnp;"
+        "import jax;"
+        f"jax.config.update('jax_compilation_cache_dir',"
+        f" {str(Path(__file__).parent / '.jax_cache')!r});"
+        "import jax.numpy as jnp;"
         "x = jnp.ones((8, 8)); print(float((x @ x).sum()))"
     )
     try:
@@ -73,11 +78,13 @@ def outer():
     # The relay tunnel to the TPU occasionally drops for many minutes. A
     # cheap preflight avoids burning a full INNER_TIMEOUT on a silent hang
     # and waits (bounded) for the tunnel to come back before measuring.
+    # First probe gets extra headroom for cold device/compile init.
     for wait in range(10):
-        if _tunnel_up():
+        if _tunnel_up(timeout_s=240 if wait == 0 else 75):
             break
         log(f"bench: device tunnel down (probe {wait}); retrying in 120s")
-        time.sleep(120)
+        if wait < 9:
+            time.sleep(120)
     for attempt in range(1 + RETRIES):
         try:
             out = subprocess.run(

@@ -9,9 +9,11 @@ the result per frame.
 
 Structure: the 21 vertical (dy) shifts are pre-stacked outside the kernel
 (Mosaic only allows dynamic indexing on the leading dimension), the kernel
-runs a fori_loop over dy with the 21 horizontal (dx) shifts unrolled as
-static lane slices, and the 7x7 patch box-sum is 12 shifted adds — all VPU
-work on VMEM-resident data.
+runs a fori_loop over dy (3 rows per iteration) with the 21 horizontal (dx)
+shifts unrolled as static lane slices, the 7x7 patch box-sum is a
+shift-doubling tree (8 shifted adds), and num/den accumulate into 8
+round-robin partials to break the 441-long serial add chain — all VPU work
+on VMEM-resident data.
 
 Numerics match ops.nl_means_denoise_u8 (same formula, same padding) up to
 float summation order.
@@ -85,7 +87,7 @@ def _kernel(shifts_ref, out_ref, *, H, W, TEMPLATE=TEMPLATE, SEARCH=SEARCH):
                 if TEMPLATE == 7:
                     rb = _box7_rows_tree(d2, H, Wb)
                     cb = _box7_cols_tree(rb, H, W)
-                else:  # pragma: no cover - generic path for test params
+                else:  # generic path (exercised by the small-param tests)
                     rb = jax.lax.slice(d2, (0, 0), (H, Wb))
                     for r in range(1, TEMPLATE):
                         rb = rb + jax.lax.slice(d2, (r, 0), (r + H, Wb))
@@ -207,7 +209,7 @@ def _kernel_packed(shifts_ref, out_ref, *, H, W, seg, TEMPLATE=TEMPLATE, SEARCH=
                 if TEMPLATE == 7:
                     rb = _box7_rows_tree(d2, H, Wk)
                     cb = _box7_cols_tree(rb, H, Wc)
-                else:  # pragma: no cover - generic path for test params
+                else:  # generic path (exercised by the small-param tests)
                     rb = jax.lax.slice(d2, (0, 0), (H, Wk))
                     for r in range(1, TEMPLATE):
                         rb = rb + jax.lax.slice(d2, (r, 0), (r + H, Wk))
