@@ -223,7 +223,15 @@ def test_pallas_packed_nlmeans_interpret_parity():
                                                  interpret=True)):
             a = np.asarray(pn.nl_means_denoise_u8_pallas(imgs, **kw))
             b = np.asarray(pn.nl_means_denoise_u8_pallas_packed(imgs, **kw))
+            c = np.asarray(pn.nl_means_denoise_u8_pallas_sym(imgs, **kw))
+            d = np.asarray(pn.nl_means_denoise_u8_pallas_packed_sym(imgs, **kw))
     np.testing.assert_array_equal(a, b)
+    # the symmetric-weights kernels compute half the offsets by reusing
+    # each weight plane at the mirrored offset; weights are bit-identical
+    # (squares are sign-symmetric, box tree order fixed) and on these
+    # inputs the whole output matches exactly
+    np.testing.assert_array_equal(a, c)
+    np.testing.assert_array_equal(a, d)
 
 
 def test_pallas_nlmeans_tree_unroll_interpret():
@@ -275,6 +283,12 @@ def test_pallas_nlmeans_tree_unroll_interpret():
                                                  interpret=True)):
             a = np.asarray(pn.nl_means_denoise_u8_pallas(jnp.asarray(imgs), **kw))
             b = np.asarray(pn.nl_means_denoise_u8_pallas_packed(jnp.asarray(imgs), **kw))
+            c = np.asarray(pn.nl_means_denoise_u8_pallas_sym(jnp.asarray(imgs), **kw))
+            d = np.asarray(pn.nl_means_denoise_u8_pallas_packed_sym(jnp.asarray(imgs), **kw))
     np.testing.assert_array_equal(a, b)
+    # symmetric-weights kernels (the production TPU path): the v>=1 loop
+    # with the one-hot permutation matmul shift runs here (S=9 -> hs=4)
+    np.testing.assert_array_equal(a, c)
+    np.testing.assert_array_equal(a, d)
     assert np.abs(a - want).max() <= 1
     assert (a != want).mean() < 0.02
