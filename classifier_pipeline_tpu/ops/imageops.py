@@ -202,25 +202,31 @@ def _component_medians(eq, area, img_i32, value_bits=16):
     k1 = (n - 1) // 2 + 1  # 1-indexed lower-middle order stat
     k2 = n // 2 + 1
 
-    def kth(k):
-        lo = jnp.zeros((K,), jnp.int32)
-        hi = jnp.full((K,), (1 << value_bits) - 1, jnp.int32)
+    lo = jnp.zeros((K,), jnp.int32)
+    hi = jnp.full((K,), (1 << value_bits) - 1, jnp.int32)
 
-        def body(_, lohi):
-            lo, hi = lohi
-            mid = (lo + hi) >> 1
-            cnt = jnp.sum(
-                eq & (img_i32[None] <= mid[:, None, None]),
-                axis=(1, 2), dtype=jnp.int32,
-            )
-            ge = cnt >= k
-            return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) >> 1
+        cnt = jnp.sum(
+            eq & (img_i32[None] <= mid[:, None, None]),
+            axis=(1, 2), dtype=jnp.int32,
+        )
+        ge = cnt >= k1
+        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
 
-        lo, hi = jax.lax.fori_loop(0, value_bits, body, (lo, hi))
-        return hi
-
-    v1 = kth(k1)
-    v2 = kth(k2)
+    _, v1 = jax.lax.fori_loop(0, value_bits, body, (lo, hi))
+    # upper middle (k2 = k1 or k1+1): v1 again if count(<= v1) >= k2, else
+    # the component's smallest value strictly above v1 — two reductions
+    # replace a second full binary search (the two searches were ~15% of
+    # the whole scan's device time)
+    le = eq & (img_i32[None] <= v1[:, None, None])
+    cnt1 = jnp.sum(le, axis=(1, 2), dtype=jnp.int32)
+    big = jnp.int32((1 << value_bits) - 1)
+    above_min = jnp.min(
+        jnp.where(eq & ~le, img_i32[None], big), axis=(1, 2)
+    )
+    v2 = jnp.where(cnt1 >= k2, v1, above_min)
     return jnp.where(n > 0, (v1 + v2).astype(jnp.float32) / 2.0, 0.0)
 
 

@@ -242,7 +242,18 @@ def _kalman_correct(x, p, z):
     # S = P[:2,:2] + I; K = P[:, :2] S^-1
     S = p[:2, :2] + jnp.eye(2, dtype=jnp.float32)
     PHt = p[:, :2]
-    Kt = jnp.linalg.solve(S, PHt.T)  # (2,4)
+    # closed-form 2x2 solve: jnp.linalg.solve lowers to an LU custom call
+    # (~12% of the scan's device time for a 2x2!). S is SPD (covariance +
+    # I) so the determinant is positive; cv2's own correct() uses an SVD
+    # solve here, so solver-level float differences are already inherent
+    # and gated by the golden tracking tests.
+    B = PHt.T  # (2, 4)
+    a, b_ = S[0, 0], S[0, 1]
+    c, d = S[1, 0], S[1, 1]
+    inv_det = 1.0 / (a * d - b_ * c)
+    Kt = jnp.stack(
+        [(d * B[0] - b_ * B[1]) * inv_det, (a * B[1] - c * B[0]) * inv_det]
+    )  # (2,4)
     K = Kt.T  # (4,2)
     innov = z - x[:2]
     nx = x + K @ innov
@@ -624,8 +635,31 @@ def make_scan_step(p: TrackingParams):
         t_blanked0 = jnp.zeros((KT,), jnp.bool_)
         r_used0 = jnp.zeros((KR,), jnp.bool_)
         match_r0 = jnp.full((KT,), -1, jnp.int32)
-        t_matched, _t_blanked, r_used, match_r = jax.lax.fori_loop(
-            0, KT, greedy_body, (t_matched0, t_blanked0, r_used0, match_r0)
+
+        # early-exit greedy: a fori over all KT slots would run the full 24
+        # iterations every frame (~22% of scan device time), but the body is
+        # the identity once nothing is eligible and the eligibility masks
+        # only shrink, so a while_loop that stops at the first empty
+        # candidate set is exactly equivalent — typical frames match in
+        # 0-3 iterations
+        def greedy_cond(st):
+            i, t_matched, t_blanked, r_used, _match_r = st
+            elig = (
+                eligible
+                & ~t_matched[:, None]
+                & ~t_blanked[:, None]
+                & ~r_used[None, :]
+            )
+            return (i < KT) & jnp.any(elig)
+
+        def greedy_step(st):
+            i, *inner = st
+            return (i + 1,) + tuple(greedy_body(i, tuple(inner)))
+
+        _, t_matched, _t_blanked, r_used, match_r = jax.lax.while_loop(
+            greedy_cond,
+            greedy_step,
+            (jnp.int32(0), t_matched0, t_blanked0, r_used0, match_r0),
         )
 
         # ---- new tracks from unmatched regions ------------------------------
@@ -1162,11 +1196,44 @@ def _split_fused(buf_np: np.ndarray, specs):
 def _frame_medians_u16(th_dev):
     """np.median over each (H, W) frame, batched on device: (B, T, H, W)
     uint16 -> (B, T) float32. Exact vs np.median (integer inputs: the mean
-    of the two middle uint16 values is representable in float32)."""
+    of the two middle uint16 values is representable in float32).
+
+    Implemented as a 16-step binary search over the uint16 value domain
+    (count-less-or-equal per candidate) instead of jnp.median: XLA lowers
+    the sort-based median to a full per-frame sort (~50ms per 16-clip
+    chunk on v5e, ~10% of the whole scan); the counting search is pure
+    compare+reduce and costs a few ms for the same exact result."""
     B, T, H, W = th_dev.shape
-    return jnp.median(
-        th_dev.reshape(B, T, H * W).astype(jnp.float32), axis=-1
+    n = H * W
+    # compares stay in uint16: a one-time int32 cast materializes a 2x copy
+    # in HBM and measures slightly slower than per-pass unpacking
+    x = th_dev.reshape(B, T, n)
+    k_lo = (n - 1) // 2  # 0-indexed lower middle
+    k_hi = n // 2        # upper middle (== k_lo for odd n)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) // 2
+        cnt = jnp.sum(x <= mid[..., None].astype(jnp.uint16), axis=-1,
+                      dtype=jnp.int32)
+        ge = cnt >= (k_lo + 1)
+        return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
+
+    lo = jnp.zeros((B, T), jnp.int32)
+    hi = jnp.full((B, T), 65535, jnp.int32)
+    lo, _ = jax.lax.fori_loop(0, 16, body, (lo, hi))
+    v1 = lo  # k_lo-th smallest value
+    if k_hi == k_lo:
+        return v1.astype(jnp.float32)
+    # upper middle: v1 again if at least k_hi+1 values are <= v1, else the
+    # smallest value strictly greater than v1
+    le = x <= v1[..., None].astype(jnp.uint16)
+    cnt1 = jnp.sum(le, axis=-1, dtype=jnp.int32)
+    above_min = jnp.min(
+        jnp.where(le, jnp.uint16(65535), x).astype(jnp.int32), axis=-1
     )
+    v2 = jnp.where(cnt1 >= (k_hi + 1), v1, above_min)
+    return (v1.astype(jnp.float32) + v2.astype(jnp.float32)) * 0.5
 
 
 def track_clips_batch_dispatch(

@@ -292,3 +292,30 @@ def test_pallas_nlmeans_tree_unroll_interpret():
     np.testing.assert_array_equal(a, d)
     assert np.abs(a - want).max() <= 1
     assert (a != want).mean() < 0.02
+
+
+def test_frame_medians_binary_search_exact():
+    """_frame_medians_u16 (16-step value-domain binary search; replaces the
+    sort-based jnp.median, which XLA lowers to a ~50ms/chunk full per-frame
+    sort on TPU) is exact vs np.median on uint16 frames, including ties,
+    extremes, and constant frames."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from classifier_pipeline_tpu.track.tracker_jax import _frame_medians_u16
+
+    rng = np.random.default_rng(3)
+    for shape in [(2, 3, 120, 160), (1, 1, 4, 4), (3, 2, 5, 7), (1, 2, 1, 3)]:
+        x = rng.integers(0, 65536, shape).astype(np.uint16)
+        x[..., : min(2, shape[2]), : min(2, shape[3])] = 0
+        x[..., -1, -1] = 65535
+        got = np.asarray(_frame_medians_u16(jnp.asarray(x)))
+        want = np.median(
+            x.reshape(shape[0], shape[1], -1).astype(np.float32), axis=-1
+        )
+        np.testing.assert_array_equal(got, want)
+    const = np.full((2, 2, 8, 8), 1234, np.uint16)
+    np.testing.assert_array_equal(
+        np.asarray(_frame_medians_u16(jnp.asarray(const))),
+        np.full((2, 2), 1234.0, np.float32),
+    )
