@@ -931,11 +931,15 @@ long long nl_means_u8(const uint8_t* img, long long Hn, long long Wn,
     for (int s = 0; s <= LUT_MAX; s++) (*t)[s] = expf(inv * (float)s);
     return t;
   }();  // C++11 static init: thread-safe
-  // REFLECT_101 pad
+  // REFLECT_101 pad (iterated: pads wider than the frame, as in the tiny
+  // availability-probe inputs, need repeated reflection to stay in range)
   std::vector<int32_t> pad((size_t)Hp * Wp);
   auto refl = [](int i, int n) {
-    if (i < 0) i = -i;
-    if (i >= n) i = 2 * n - 2 - i;
+    if (n == 1) return 0;
+    while (i < 0 || i >= n) {
+      if (i < 0) i = -i;
+      if (i >= n) i = 2 * n - 2 - i;
+    }
     return i;
   };
   for (int y = 0; y < Hp; y++) {
@@ -944,8 +948,20 @@ long long nl_means_u8(const uint8_t* img, long long Hn, long long Wn,
     for (int x = 0; x < Wp; x++) prow[x] = row[refl(x - p, W)];
   }
   std::vector<double> num((size_t)H * W, 0.0), den((size_t)H * W, 0.0);
-  // fixed stripe partition + ordered merge => identical float results on
-  // any machine / core count (only parallelism varies, not arithmetic)
+  // Symmetric weight reuse: the patch distance is sign-symmetric in the
+  // offset — boxsum_o(x) = boxsum_{-o}(x+o) with bit-identical int32 sums —
+  // so only offsets with dy >= 0 (and dx > 0 when dy == 0) are computed,
+  // each weight plane feeding BOTH the +o tap at x and the -o tap at x-o.
+  // The centre offset (w == 1 exactly) is applied after the merge.
+  struct Pair {
+    int v, u;
+  };
+  std::vector<Pair> pairs;
+  for (int u = 1; u <= hs; u++) pairs.push_back({0, u});
+  for (int v = 1; v <= hs; v++)
+    for (int u = -hs; u <= hs; u++) pairs.push_back({v, u});
+  // fixed pair->stripe partition + ordered merge => identical float results
+  // on any machine / core count (only parallelism varies, not arithmetic)
   const long long n_stripes = 8;
   std::vector<std::vector<double>> pnum(n_stripes), pden(n_stripes);
   long long hwc = (long long)std::thread::hardware_concurrency();
@@ -960,14 +976,17 @@ long long nl_means_u8(const uint8_t* img, long long Hn, long long Wn,
       // loop-invariant against the stores)
       const int W_ = W, H_ = H, Wb_ = Wb, Hb_ = Hb, Wp_ = Wp;
       const int ts_ = ts, hs2 = hs;
-      // row-major working buffers so every inner loop vectorizes across x
-      std::vector<int32_t> d2v((size_t)Hb_ * Wb_), vsumv((size_t)H_ * Wb_),
-          hsumv(W_);
+      // row-major working buffers (extended-grid capacity) so every inner
+      // loop vectorizes across x
+      std::vector<int32_t> d2v((size_t)(Hb_ + hs2) * (Wb_ + hs2)),
+          vsumv((size_t)(H_ + hs2) * (Wb_ + hs2)), hsumv(W_ + hs2);
+      std::vector<float> wbufv((size_t)(H_ + hs2) * (W_ + hs2));
       std::vector<double> lnumv((size_t)H_ * W_, 0.0),
           ldenv((size_t)H_ * W_, 0.0);
       int32_t* __restrict__ d2 = d2v.data();
       int32_t* __restrict__ vsum = vsumv.data();
       int32_t* __restrict__ hsum = hsumv.data();
+      float* __restrict__ wbuf = wbufv.data();
       double* __restrict__ lnum = lnumv.data();
       double* __restrict__ lden = ldenv.data();
       const int32_t* __restrict__ padp = pad.data();
@@ -976,47 +995,69 @@ long long nl_means_u8(const uint8_t* img, long long Hn, long long Wn,
       while ((stripe = next_stripe.fetch_add(1)) < n_stripes) {
       std::fill(lnumv.begin(), lnumv.end(), 0.0);
       std::fill(ldenv.begin(), ldenv.end(), 0.0);
-      for (int dy = (int)stripe; dy < NLM_SEARCH; dy += (int)n_stripes) {
-        for (int dx = 0; dx < NLM_SEARCH; dx++) {
-          // d2 over the (Hb, Wb) patch-extended frame (SIMD across x)
-          for (int y = 0; y < Hb_; y++) {
-            const int32_t* __restrict__ sh = padp + (size_t)(y + dy) * Wp_ + dx;
-            const int32_t* __restrict__ bs = padp + (size_t)(y + hs2) * Wp_ + hs2;
-            int32_t* __restrict__ d = d2 + (size_t)y * Wb_;
-            for (int x = 0; x < Wb_; x++) {
-              int32_t diff = sh[x] - bs[x];
-              d[x] = diff * diff;
-            }
+      for (size_t pi = (size_t)stripe; pi < pairs.size();
+           pi += (size_t)n_stripes) {
+        const int v = pairs[pi].v, u = pairs[pi].u;
+        const int au = u < 0 ? -u : u;
+        const int cu = u > 0 ? u : 0;   // +o tap col shift in the w grid
+        const int cm = u < 0 ? -u : 0;  // -o tap col shift in the w grid
+        // extended grid: w rows [0, H+v) map to output rows y-v of the -o
+        // tap and (row - v) of the +o tap; cols [0, W+|u|) likewise
+        const int RE = Hb_ + v, CE = Wb_ + au;
+        const int CBH = H_ + v, CBW = W_ + au;
+        const int colA = u > 0 ? hs2 : hs2 + u;  // hs+u-cu
+        const int colB = u > 0 ? hs2 - u : hs2;  // hs-cu
+        // d2 over the extended patch frame (SIMD across x):
+        // d2[r][c] = (pad[r+hs][c+colA+u-part] - pad[r+hs-v][c+colB])^2
+        for (int y = 0; y < RE; y++) {
+          const int32_t* __restrict__ sh =
+              padp + (size_t)(y + hs2) * Wp_ + colA;
+          const int32_t* __restrict__ bs =
+              padp + (size_t)(y + hs2 - v) * Wp_ + colB;
+          int32_t* __restrict__ d = d2 + (size_t)y * CE;
+          for (int x = 0; x < CE; x++) {
+            int32_t diff = sh[x] - bs[x];
+            d[x] = diff * diff;
           }
-          // vertical 7-sum: row-wise sliding (2 vector ops/px, exact int32)
-          for (int x = 0; x < Wb_; x++) {
-            int32_t s = d2[x];
-            for (int y = 1; y < NLM_TPL; y++) s += d2[(size_t)y * Wb_ + x];
-            vsum[x] = s;
-          }
-          for (int y = 1; y < H_; y++) {
-            const int32_t* __restrict__ add = d2 + (size_t)(y + NLM_TPL - 1) * Wb_;
-            const int32_t* __restrict__ sub = d2 + (size_t)(y - 1) * Wb_;
-            const int32_t* __restrict__ prev = vsum + (size_t)(y - 1) * Wb_;
-            int32_t* __restrict__ cur = vsum + (size_t)y * Wb_;
-            for (int x = 0; x < Wb_; x++) cur[x] = prev[x] + add[x] - sub[x];
-          }
-          // horizontal 7-sum (6 shifted vector adds) + LUT accumulate
-          for (int y = 0; y < H_; y++) {
-            const int32_t* __restrict__ v = vsum + (size_t)y * Wb_;
-            const int32_t* __restrict__ centre =
-                padp + (size_t)(y + dy + ts_) * Wp_ + dx + ts_;
-            double* __restrict__ ln = lnum + (size_t)y * W_;
-            double* __restrict__ ld = lden + (size_t)y * W_;
-            for (int x = 0; x < W_; x++)
-              hsum[x] = v[x] + v[x + 1] + v[x + 2] + v[x + 3] + v[x + 4] +
-                        v[x + 5] + v[x + 6];
-            for (int x = 0; x < W_; x++) {
-              int32_t s = hsum[x];
-              float wgt = s <= LUT_MAX ? lutp[s] : 0.0f;
-              ln[x] += (double)wgt * (double)centre[x];
-              ld[x] += (double)wgt;
-            }
+        }
+        // vertical 7-sum: row-wise sliding (2 vector ops/px, exact int32)
+        for (int x = 0; x < CE; x++) {
+          int32_t s = d2[x];
+          for (int y = 1; y < NLM_TPL; y++) s += d2[(size_t)y * CE + x];
+          vsum[x] = s;
+        }
+        for (int y = 1; y < CBH; y++) {
+          const int32_t* __restrict__ add = d2 + (size_t)(y + NLM_TPL - 1) * CE;
+          const int32_t* __restrict__ sub = d2 + (size_t)(y - 1) * CE;
+          const int32_t* __restrict__ prev = vsum + (size_t)(y - 1) * CE;
+          int32_t* __restrict__ cur = vsum + (size_t)y * CE;
+          for (int x = 0; x < CE; x++) cur[x] = prev[x] + add[x] - sub[x];
+        }
+        // horizontal 7-sum (6 shifted vector adds) + one LUT pass into the
+        // weight plane (~1.15*H*W gathers per pair vs 2*H*W before)
+        for (int y = 0; y < CBH; y++) {
+          const int32_t* __restrict__ vr = vsum + (size_t)y * CE;
+          float* __restrict__ wr = wbuf + (size_t)y * CBW;
+          for (int x = 0; x < CBW; x++)
+            hsum[x] = vr[x] + vr[x + 1] + vr[x + 2] + vr[x + 3] + vr[x + 4] +
+                      vr[x + 5] + vr[x + 6];
+          for (int x = 0; x < CBW; x++)
+            wr[x] = hsum[x] <= LUT_MAX ? lutp[hsum[x]] : 0.0f;
+        }
+        // accumulate both taps (contiguous vector loads, no gathers)
+        for (int y = 0; y < H_; y++) {
+          const float* __restrict__ wp = wbuf + (size_t)(y + v) * CBW + cu;
+          const float* __restrict__ wm = wbuf + (size_t)y * CBW + cm;
+          const int32_t* __restrict__ cp =
+              padp + (size_t)(y + v + hs2 + ts_) * Wp_ + (hs2 + u + ts_);
+          const int32_t* __restrict__ cmv =
+              padp + (size_t)(y - v + hs2 + ts_) * Wp_ + (hs2 - u + ts_);
+          double* __restrict__ ln = lnum + (size_t)y * W_;
+          double* __restrict__ ld = lden + (size_t)y * W_;
+          for (int x = 0; x < W_; x++) {
+            ln[x] += (double)wp[x] * (double)cp[x] +
+                     (double)wm[x] * (double)cmv[x];
+            ld[x] += (double)wp[x] + (double)wm[x];
           }
         }
       }
@@ -1031,6 +1072,14 @@ long long nl_means_u8(const uint8_t* img, long long Hn, long long Wn,
     for (size_t i = 0; i < (size_t)H * W; i++) {
       num[i] += pnum[s][i];
       den[i] += pden[s][i];
+    }
+  }
+  // centre offset: w == expf(0) == 1 exactly
+  for (int y = 0; y < H; y++) {
+    const int32_t* __restrict__ c0 = pad.data() + (size_t)(y + p) * Wp + p;
+    for (int x = 0; x < W; x++) {
+      num[(size_t)y * W + x] += (double)c0[x];
+      den[(size_t)y * W + x] += 1.0;
     }
   }
   for (size_t i = 0; i < (size_t)H * W; i++) {
