@@ -34,6 +34,7 @@ TEMPLATE = 7
 SEARCH = 21
 _N_PARTIAL = 8  # round-robin accumulators: break the 441-long serial chain
 _DY_UNROLL = 3  # dy rows per fori iteration (Mosaic pipelines across rows)
+_V_UNROLL = 2   # v-rows per fori iteration in the symmetric kernel
 
 
 def _dy_unroll(search):
@@ -134,9 +135,12 @@ def _kernel_sym(shifts_ref, out_ref, *, H, W, nimg, TEMPLATE=TEMPLATE,
         cp = jax.lax.slice(A, (p, p + u), (p + H, p + u + WA))
         return w, wp, cp, wc
 
-    def vbody(v, carry):
-        nums = list(carry[:_N_PARTIAL])
-        dens = list(carry[_N_PARTIAL:])
+    # v-rows per fori iteration: a larger loop body gives Mosaic more
+    # independent work to pipeline (same reason the non-symmetric kernel
+    # used _DY_UNROLL=3); hs=10 splits evenly into 5 iterations of 2
+    VU = _V_UNROLL if hs % _V_UNROLL == 0 else 1
+
+    def vrow(v, nums, dens):
         A = shifts_ref[0, v]
         # minus-tap accumulators over y = x - v (rows y in [-hs, H))
         mz = jnp.zeros((H + hs, WA), jnp.float32)
@@ -161,7 +165,7 @@ def _kernel_sym(shifts_ref, out_ref, *, H, W, nimg, TEMPLATE=TEMPLATE,
         # aligned shapes, so the shift is a one-hot permutation matmul
         # instead: P[r, c] = (c == r - v), exact in f32 (each output row is
         # one 1.0*x product), negligible MXU work at this size, and ONE
-        # dynamic op per v-iteration instead of one per offset pair.
+        # dynamic op per v-row instead of one per offset pair.
         n = H + hs
         ridx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         cidx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
@@ -169,10 +173,17 @@ def _kernel_sym(shifts_ref, out_ref, *, H, W, nimg, TEMPLATE=TEMPLATE,
         for t, acc in ((mn[0] + mn[1], nums), (md[0] + md[1], dens)):
             tr = jax.lax.dot(P, t, preferred_element_type=jnp.float32)
             acc[-1] = acc[-1] + jax.lax.slice(tr, (hs, 0), (hs + H, WA))
+        return nums, dens
+
+    def vbody(it, carry):
+        nums = list(carry[:_N_PARTIAL])
+        dens = list(carry[_N_PARTIAL:])
+        for j in range(VU):
+            nums, dens = vrow(1 + it * VU + j, nums, dens)
         return tuple(nums) + tuple(dens)
 
     z = jnp.zeros((H, WA), jnp.float32)
-    res = jax.lax.fori_loop(1, hs + 1, vbody, (z,) * (2 * _N_PARTIAL))
+    res = jax.lax.fori_loop(0, hs // VU, vbody, (z,) * (2 * _N_PARTIAL))
     nums = list(res[:_N_PARTIAL])
     dens = list(res[_N_PARTIAL:])
     # v=0 row: horizontal-only pairs, both taps at static offsets
