@@ -201,17 +201,22 @@ def _component_medians(eq, area, img_i32, value_bits=16):
     n = area
     k1 = (n - 1) // 2 + 1  # 1-indexed lower-middle order stat
     k2 = n // 2 + 1
+    big = jnp.int32((1 << value_bits) - 1)
+    # sentinel-packed component image: non-member pixels become the max
+    # value, so each search iteration is one compare+reduce instead of
+    # compare+mask+reduce. Sentinels can only be counted when mid == max,
+    # which the search reaches only after convergence (or for empty
+    # components, masked by n > 0 below).
+    imgc = jnp.where(eq, img_i32[None], big)
 
     lo = jnp.zeros((K,), jnp.int32)
-    hi = jnp.full((K,), (1 << value_bits) - 1, jnp.int32)
+    hi = jnp.full((K,), big, jnp.int32)
 
     def body(_, lohi):
         lo, hi = lohi
         mid = (lo + hi) >> 1
-        cnt = jnp.sum(
-            eq & (img_i32[None] <= mid[:, None, None]),
-            axis=(1, 2), dtype=jnp.int32,
-        )
+        cnt = jnp.sum(imgc <= mid[:, None, None], axis=(1, 2),
+                      dtype=jnp.int32)
         ge = cnt >= k1
         return jnp.where(ge, lo, mid + 1), jnp.where(ge, mid, hi)
 
@@ -219,13 +224,12 @@ def _component_medians(eq, area, img_i32, value_bits=16):
     # upper middle (k2 = k1 or k1+1): v1 again if count(<= v1) >= k2, else
     # the component's smallest value strictly above v1 — two reductions
     # replace a second full binary search (the two searches were ~15% of
-    # the whole scan's device time)
-    le = eq & (img_i32[None] <= v1[:, None, None])
+    # the whole scan's device time). Sentinels sit at the max value, so
+    # they only enter cnt1 when v1 == max (then v2 == v1 either way) and
+    # enter the min as `big`, its identity.
+    le = imgc <= v1[:, None, None]
     cnt1 = jnp.sum(le, axis=(1, 2), dtype=jnp.int32)
-    big = jnp.int32((1 << value_bits) - 1)
-    above_min = jnp.min(
-        jnp.where(eq & ~le, img_i32[None], big), axis=(1, 2)
-    )
+    above_min = jnp.min(jnp.where(le, big, imgc), axis=(1, 2))
     v2 = jnp.where(cnt1 >= k2, v1, above_min)
     return jnp.where(n > 0, (v1 + v2).astype(jnp.float32) / 2.0, 0.0)
 

@@ -319,3 +319,50 @@ def test_frame_medians_binary_search_exact():
         np.asarray(_frame_medians_u16(jnp.asarray(const))),
         np.full((2, 2), 1234.0, np.float32),
     )
+
+
+def test_component_medians_exact_vs_numpy():
+    """Per-component thermal medians (sentinel-packed binary search +
+    derived upper order stat) are exact vs np.median over each cv2
+    component's pixels on dense random masks. Components are matched by
+    (x, y, w, h, area) because cv2's BBDT labeling order differs from
+    raster order on noisy masks."""
+    import numpy as np
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    import jax
+    import jax.numpy as jnp
+
+    from classifier_pipeline_tpu.ops import imageops as ops
+
+    rng = np.random.default_rng(5)
+    checked = 0
+    for _ in range(6):
+        seeds = (rng.random((40, 50)) < 0.02).astype(np.uint8) * 255
+        mask = cv2.dilate(seeds, np.ones((3, 5), np.uint8)).astype(
+            np.int32
+        )
+        img = rng.integers(0, 65536, (40, 50)).astype(np.uint16)
+        stats = jax.jit(
+            lambda m, a: ops.connected_components_stats(m, 64, aux_img=a)
+        )(jnp.asarray(mask), jnp.asarray(img.astype(np.int32)))
+        n_ref, labs, st, _ = cv2.connectedComponentsWithStats(
+            mask.astype(np.uint8)
+        )
+        if n_ref - 1 > 64:
+            continue
+        nv = int(np.sum(np.asarray(stats.valid)))
+        got = np.asarray(stats.aux_median)[:nv]
+        key2med = {}
+        for lbl in range(1, n_ref):
+            vals = img[labs == lbl].astype(np.float32)
+            key2med[tuple(int(v) for v in st[lbl, :5])] = np.median(vals)
+        for i in range(nv):
+            k = tuple(
+                int(np.asarray(a)[i])
+                for a in (stats.x, stats.y, stats.w, stats.h, stats.area)
+            )
+            assert k in key2med and got[i] == key2med[k]
+            checked += 1
+    assert checked > 50
