@@ -16,6 +16,7 @@ from __future__ import annotations
 import functools
 import json
 import logging
+import os
 import time
 from pathlib import Path
 
@@ -281,8 +282,25 @@ class FlaxInterpreter:
                 "No weights at %s — using random init (test mode)", weights_file
             )
             self.variables = self._init_variables()
+        # inference runs with bf16 compute (params stay f32; Flax layers
+        # cast per-op): the idiomatic TPU inference regime, ~2-4x the f32
+        # MXU rate. The reference's Pi deployment quantizes all the way to
+        # int8 TFLite, so bf16 remains strictly more precise than the
+        # reference's deployed numerics. CPTPU_INFER_F32=1 opts out.
+        if os.environ.get("CPTPU_INFER_F32") != "1":
+            self.model = build_classifier(
+                self.params.model_name,
+                len(self.labels),
+                params=self.params,
+                dense_sizes=self.params.dense_sizes,
+                dropout=self.params.dropout,
+                multi_label=self.params.multi_label,
+                compute_dtype=jnp.bfloat16,
+            )
         self._predict_jit = jax.jit(
-            lambda v, x: self.model.apply(v, x, train=False)
+            lambda v, x: self.model.apply(v, x, train=False).astype(
+                jnp.float32
+            )
         )
         # fused per-track path: diff limits + preprocess + tile + forward in
         # ONE device program so a track costs a single host<->device round
@@ -296,8 +314,12 @@ class FlaxInterpreter:
                 feats = jnp.broadcast_to(
                     features[None, :], (tiles.shape[0], features.shape[-1])
                 )
-                return self.model.apply(variables, tiles, feats, train=False)
-            return self.model.apply(variables, tiles, train=False)
+                out = self.model.apply(variables, tiles, feats, train=False)
+            else:
+                out = self.model.apply(variables, tiles, train=False)
+            # downstream accumulation is host numpy: hand back f32 even when
+            # the model computes in bf16
+            return out.astype(jnp.float32)
 
         @functools.partial(jax.jit, static_argnames=("clip_at_zero", "diff_norm"))
         def fused(variables, thermal, filtered, medians, reg_arr, valid,
