@@ -48,3 +48,10 @@ def possum_meta():
     import json
 
     return json.loads(p.read_text())
+
+
+@pytest.fixture(scope="session")
+def clips_dir():
+    if not CLIPS.exists():
+        pytest.skip("reference test clips not available")
+    return CLIPS
