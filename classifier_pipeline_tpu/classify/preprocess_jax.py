@@ -35,7 +35,9 @@ class TrackFrames(NamedTuple):
 
 
 def _bilinear_sample(img, ys, xs):
-    """Sample img (H, W) at float coords (clamped); 4-tap bilinear."""
+    """Sample img (H, W) at float coords (clamped); 4-tap bilinear.
+    Kept as the reference formulation for tests; the hot path uses the
+    separable matmul form below."""
     H, W = img.shape
     y0 = jnp.clip(jnp.floor(ys).astype(jnp.int32), 0, H - 1)
     x0 = jnp.clip(jnp.floor(xs).astype(jnp.int32), 0, W - 1)
@@ -52,6 +54,35 @@ def _bilinear_sample(img, ys, xs):
         + v01 * (1 - fy) * fx
         + v10 * fy * (1 - fx)
         + v11 * fy * fx
+    )
+
+
+def _interp_matrix(coords, n):
+    """(S,) float sample coords -> (S, n) two-tap interpolation weights.
+    Row i holds (1-f) at floor(c_i) and f at floor(c_i)+1 (clamped)."""
+    c0 = jnp.clip(jnp.floor(coords).astype(jnp.int32), 0, n - 1)
+    c1 = jnp.clip(c0 + 1, 0, n - 1)
+    f = jnp.clip(coords - c0.astype(coords.dtype), 0.0, 1.0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (coords.shape[0], n), 1)
+    return (cols == c0[:, None]).astype(jnp.float32) * (1.0 - f)[:, None] + (
+        cols == c1[:, None]
+    ).astype(jnp.float32) * f[:, None]
+
+
+def _bilinear_sample_sep(img, sy, sx):
+    """Separable bilinear: out = Wy @ img @ Wx^T on the MXU. Arbitrary 2D
+    gathers serialize on TPU — they were 87% of the fused classify
+    program's device time — while these two small matmuls are negligible.
+    Weight rows have at most two nonzeros, so accumulating the zero terms
+    is exact; at integer coords (f == 0, e.g. unscaled crops) the result
+    is a bit-exact copy, elsewhere it differs from the 4-tap form only in
+    association order (last-ulp)."""
+    H, W = img.shape
+    Wy = _interp_matrix(sy, H)
+    Wx = _interp_matrix(sx, W)
+    hi = jax.lax.Precision.HIGHEST
+    return jax.lax.dot(
+        jax.lax.dot(Wy, img, precision=hi), Wx.T, precision=hi
     )
 
 
@@ -92,9 +123,7 @@ def resize_region_into_canvas(
     sy = (ii - oy + 0.5).astype(jnp.float32) * (hf / th.astype(jnp.float32)) - 0.5
     sx = jnp.clip(sx, 0.0, wf - 1.0) + x0.astype(jnp.float32)
     sy = jnp.clip(sy, 0.0, hf - 1.0) + y0.astype(jnp.float32)
-    grid_y = jnp.broadcast_to(sy[:, None], (S, S))
-    grid_x = jnp.broadcast_to(sx[None, :], (S, S))
-    sampled = _bilinear_sample(frame, grid_y, grid_x)
+    sampled = _bilinear_sample_sep(frame, sy, sx)
     return jnp.where(inside, sampled, pad_value)
 
 
