@@ -263,6 +263,19 @@ class FlaxInterpreter:
     def load_model(self):
         import flax.serialization
 
+        from classifier_pipeline_tpu.ops import pallas_nlmeans
+
+        # On TPU, inference runs with bf16 compute (params stay f32; Flax
+        # layers cast per-op): the idiomatic TPU inference regime, ~2-4x
+        # the f32 MXU rate; the reference's Pi deployment quantizes all
+        # the way to int8 TFLite, so bf16 remains strictly more precise
+        # than the reference's deployed numerics. CPU backends (the Pi
+        # streaming path) have no MXU — bf16 there only adds convert ops —
+        # so they stay f32. CPTPU_INFER_F32=1 forces f32 everywhere.
+        use_bf16 = (
+            os.environ.get("CPTPU_INFER_F32") != "1"
+            and pallas_nlmeans.tpu_backend()
+        )
         self.model = build_classifier(
             self.params.model_name,
             len(self.labels),
@@ -270,6 +283,7 @@ class FlaxInterpreter:
             dense_sizes=self.params.dense_sizes,
             dropout=self.params.dropout,
             multi_label=self.params.multi_label,
+            compute_dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
         )
         weights_file = self.model_file.with_suffix(".msgpack")
         if weights_file.exists():
@@ -282,21 +296,6 @@ class FlaxInterpreter:
                 "No weights at %s — using random init (test mode)", weights_file
             )
             self.variables = self._init_variables()
-        # inference runs with bf16 compute (params stay f32; Flax layers
-        # cast per-op): the idiomatic TPU inference regime, ~2-4x the f32
-        # MXU rate. The reference's Pi deployment quantizes all the way to
-        # int8 TFLite, so bf16 remains strictly more precise than the
-        # reference's deployed numerics. CPTPU_INFER_F32=1 opts out.
-        if os.environ.get("CPTPU_INFER_F32") != "1":
-            self.model = build_classifier(
-                self.params.model_name,
-                len(self.labels),
-                params=self.params,
-                dense_sizes=self.params.dense_sizes,
-                dropout=self.params.dropout,
-                multi_label=self.params.multi_label,
-                compute_dtype=jnp.bfloat16,
-            )
         self._predict_jit = jax.jit(
             lambda v, x: self.model.apply(v, x, train=False).astype(
                 jnp.float32

@@ -171,7 +171,11 @@ def _kernel_sym(shifts_ref, out_ref, *, H, W, nimg, TEMPLATE=TEMPLATE,
         cidx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         P = (cidx == ridx - v).astype(jnp.float32)
         for t, acc in ((mn[0] + mn[1], nums), (md[0] + md[1], dens)):
-            tr = jax.lax.dot(P, t, preferred_element_type=jnp.float32)
+            # HIGHEST pins true-f32 contraction: the exactness argument
+            # (one 1.0*x product per output row) requires the MXU not to
+            # round the accumulators through bf16
+            tr = jax.lax.dot(P, t, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
             acc[-1] = acc[-1] + jax.lax.slice(tr, (hs, 0), (hs + H, WA))
         return nums, dens
 
@@ -302,16 +306,7 @@ def _kernel(shifts_ref, out_ref, *, H, W, TEMPLATE=TEMPLATE, SEARCH=SEARCH):
             for dx in range(SEARCH):
                 sh = jax.lax.slice(row, (0, dx), (Hb, dx + Wb))
                 d2 = (sh - base) ** 2
-                if TEMPLATE == 7:
-                    rb = _box7_rows_tree(d2, H, Wb)
-                    cb = _box7_cols_tree(rb, H, W)
-                else:  # generic path (exercised by the small-param tests)
-                    rb = jax.lax.slice(d2, (0, 0), (H, Wb))
-                    for r in range(1, TEMPLATE):
-                        rb = rb + jax.lax.slice(d2, (r, 0), (r + H, Wb))
-                    cb = jax.lax.slice(rb, (0, 0), (H, W))
-                    for c in range(1, TEMPLATE):
-                        cb = cb + jax.lax.slice(rb, (0, c), (H, c + W))
+                cb = _box_cb(d2, H, W, TEMPLATE)
                 w = jnp.exp(cb * inv)
                 centre = jax.lax.slice(sh, (ts, ts), (ts + H, ts + W))
                 i = k % _N_PARTIAL
@@ -426,16 +421,7 @@ def _kernel_packed(shifts_ref, out_ref, *, H, W, seg, TEMPLATE=TEMPLATE, SEARCH=
             for dx in range(SEARCH):
                 sh = jax.lax.slice(row, (0, dx), (Hb, dx + Wk))
                 d2 = (sh - base) ** 2
-                if TEMPLATE == 7:
-                    rb = _box7_rows_tree(d2, H, Wk)
-                    cb = _box7_cols_tree(rb, H, Wc)
-                else:  # generic path (exercised by the small-param tests)
-                    rb = jax.lax.slice(d2, (0, 0), (H, Wk))
-                    for r in range(1, TEMPLATE):
-                        rb = rb + jax.lax.slice(d2, (r, 0), (r + H, Wk))
-                    cb = jax.lax.slice(rb, (0, 0), (H, Wc))
-                    for c in range(1, TEMPLATE):
-                        cb = cb + jax.lax.slice(rb, (0, c), (H, c + Wc))
+                cb = _box_cb(d2, H, Wc, TEMPLATE)
                 w = jnp.exp(cb * inv)
                 centre = jax.lax.slice(sh, (ts, ts), (ts + H, ts + Wc))
                 i = k % _N_PARTIAL
