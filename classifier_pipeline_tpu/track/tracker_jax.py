@@ -1110,6 +1110,36 @@ def _pad_clip_batch(thermals, ffcs, params, backgrounds=None, bucket=32):
     return th, ffc_pad, carry0
 
 
+_STAGING_POOL: dict = {}
+
+
+def _staging_buffer(name, shape, dtype):
+    """Reusable host staging array (fully overwritten by the caller).
+    Keyed by shape so alternating bucket sizes in one batch (mixed-length
+    corpora) each keep their own buffer instead of thrashing.
+
+    Pooling is gated to the axon backend, where device_put verifiably
+    COPIES on enqueue (mutating the numpy buffer immediately after
+    jnp.asarray leaves the device value intact). XLA:CPU zero-copy
+    ALIASES aligned numpy buffers, and plain PJRT TPU may hold the host
+    buffer until the DMA completes (ImmutableUntilTransferCompletes) —
+    both get a fresh allocation."""
+    try:
+        platform = jax.devices()[0].platform.lower()
+    except RuntimeError:  # pragma: no cover
+        platform = ""
+    if platform != "axon":
+        return np.empty(shape, dtype)
+    key = (name, shape, np.dtype(dtype).str)
+    buf = _STAGING_POOL.get(key)
+    if buf is None:
+        if len(_STAGING_POOL) > 16:  # bound retained host memory
+            _STAGING_POOL.clear()
+        buf = np.empty(shape, dtype)
+        _STAGING_POOL[key] = buf
+    return buf
+
+
 def _pad_clip_batch_delta(thermals, ffcs, params, backgrounds, bucket, deltas):
     """Assemble the compressed upload directly from the decoder's per-clip
     delta streams (cptv.codec.CptvClip.delta): no (B, T, H, W) uint16 batch
@@ -1123,8 +1153,12 @@ def _pad_clip_batch_delta(thermals, ffcs, params, backgrounds, bucket, deltas):
                                      bucket)
     H, W = params.res_y, params.res_x
     HW = H * W
-    first = np.empty((B, H, W), np.int32)
-    resid = np.empty((B, T - 1, H, W), np.int8)  # padding rows zeroed below
+    # pooled staging buffers: a fresh np.empty of ~140MB pays kernel
+    # page-zeroing on every chunk; device_put copies on enqueue (verified
+    # on the axon backend), so reuse after dispatch is safe. Keyed by
+    # shape — same-shape chunks (the common bucketed case) reuse.
+    first = _staging_buffer("first", (B, H, W), np.int32)
+    resid = _staging_buffer("resid", (B, T - 1, H, W), np.int8)
     shift = np.zeros((B, T - 1), np.int32)
     exc_i, exc_v = [], []
     for b, thermal in enumerate(thermals):
