@@ -218,13 +218,22 @@ class ClipContext:
 
     def clip_thermals_at_zero(self, regions) -> bool:
         """reference preprocess_segments:390-399: if any unique region's
-        median(thermal crop - frame median) <= 0, don't clip at zero."""
+        median(thermal crop - frame median) <= 0, don't clip at zero.
+
+        median(x - c) == median(x) - c exactly here (uint16 values and the
+        f32 frame median are all exactly representable through the mean of
+        the two middle elements), so the test partitions the raw uint16
+        crop instead of materializing a float copy per region."""
         for r in regions:
             i = self.index_of(r.frame_number)
             sub = self._thermal_np[i, r.y : r.y + r.height, r.x : r.x + r.width]
-            if sub.size == 0:
+            n = sub.size
+            if n == 0:
                 continue
-            if np.median(np.float32(sub) - self._medians_np[i]) <= 0:
+            k1, k2 = (n - 1) // 2, n // 2
+            part = np.partition(sub.ravel(), (k1, k2))
+            med = (np.float32(part[k1]) + np.float32(part[k2])) * np.float32(0.5)
+            if med <= self._medians_np[i]:
                 return False
         return True
 
