@@ -217,7 +217,93 @@ def _kernel_sym(shifts_ref, out_ref, *, H, W, nimg, TEMPLATE=TEMPLATE,
         out_ref[0, i] = jax.lax.slice(out, (0, i * Wpad), (H, i * Wpad + W))
 
 
-def _sym_call(img_packed, nimg, H, W, TEMPLATE, SEARCH):
+def _kernel_sym_full(shifts_ref, out_ref, *, H, W, nimg, TEMPLATE=TEMPLATE,
+                     SEARCH=SEARCH):
+    """Fully-unrolled symmetric-weights NL-means.
+
+    Same math as _kernel_sym (221 weight planes, each consumed at the +o
+    and -o taps, weights bit-identical), but `v` is a Python constant
+    instead of a fori_loop index, so the -o tap's v-dependent row shift is
+    a STATIC slice of the weight plane — no per-v one-hot permutation
+    matmul, no (H+hs, WA) staging buffers, no dynamic leading-dim index on
+    shifts_ref. The program is ~5x larger (221 unrolled offset bodies) but
+    every op is a static-slice VPU op, giving Mosaic a single flat
+    dependence graph to schedule.
+
+    Output matches _kernel / _kernel_sym up to float num/den summation
+    order (accumulation-order changes are verified parity-safe for the
+    golden tracking output; see tools/golden_tpu.py).
+    """
+    ts = TEMPLATE // 2
+    hs = SEARCH // 2
+    p = hs + ts
+    inv = -1.0 / (H_PARAM * H_PARAM * TEMPLATE * TEMPLATE)
+    HG = H + 2 * ts + hs
+    WG = W + 2 * ts + hs
+    Wpad = W + 2 * p
+    WGp = (nimg - 1) * Wpad + WG
+    WA = (nimg - 1) * Wpad + W
+    B = shifts_ref[0, 0]
+    B0 = jax.lax.slice(B, (0, 0), (HG, WGp))
+    Bh = jax.lax.slice(B, (0, hs), (HG, hs + WGp))
+
+    def weights(A, u):
+        c0 = 0 if u >= 0 else hs
+        bsl = B0 if u >= 0 else Bh
+        asl = jax.lax.slice(A, (0, c0 + u), (HG, c0 + u + WGp))
+        d2 = (asl - bsl) ** 2
+        cb = _box_cb(d2, H + hs, WA + hs, TEMPLATE)
+        w = jnp.exp(cb * inv)
+        wc = hs if u >= 0 else 0
+        wp = jax.lax.slice(w, (hs, wc), (hs + H, wc + WA))
+        cp = jax.lax.slice(A, (p, p + u), (p + H, p + u + WA))
+        return w, wp, cp, wc
+
+    z = jnp.zeros((H, WA), jnp.float32)
+    nums = [z] * _N_PARTIAL
+    dens = [z] * _N_PARTIAL
+    k = 0
+    for v in range(1, hs + 1):
+        A = shifts_ref[0, v]  # static leading-dim index
+        for u in range(-hs, hs + 1):
+            w, wp, cp, wc = weights(A, u)
+            # -o tap: output row x reads w row (x - v + hs), centre pixel
+            # B row (x + p - v) — all offsets static because v, u are
+            # Python constants here (vs _kernel_sym's matmul shift)
+            wm = jax.lax.slice(w, (hs - v, wc - u), (hs - v + H, wc - u + WA))
+            cm = jax.lax.slice(B, (p - v, p - u), (p - v + H, p - u + WA))
+            i, j = k % _N_PARTIAL, (k + 1) % _N_PARTIAL
+            nums[i] = nums[i] + wp * cp
+            dens[i] = dens[i] + wp
+            nums[j] = nums[j] + wm * cm
+            dens[j] = dens[j] + wm
+            k += 2
+    # v=0 row: horizontal-only pairs (identical to _kernel_sym's tail)
+    for u in range(1, hs + 1):
+        w, wp, cp, wc = weights(B, u)
+        wm = jax.lax.slice(w, (hs, wc - u), (hs + H, wc - u + WA))
+        cm = jax.lax.slice(B, (p, p - u), (p + H, p - u + WA))
+        i, j = k % _N_PARTIAL, (k + 1) % _N_PARTIAL
+        nums[i] = nums[i] + wp * cp
+        dens[i] = dens[i] + wp
+        nums[j] = nums[j] + wm * cm
+        dens[j] = dens[j] + wm
+        k += 2
+    num = nums[0]
+    for t in nums[1:]:
+        num = num + t
+    den = dens[0]
+    for t in dens[1:]:
+        den = den + t
+    num = num + jax.lax.slice(B, (p, p), (p + H, p + WA))
+    den = den + 1.0
+    out = num / den
+    out = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.int32)
+    for i in range(nimg):
+        out_ref[0, i] = jax.lax.slice(out, (0, i * Wpad), (H, i * Wpad + W))
+
+
+def _sym_call(img_packed, nimg, H, W, TEMPLATE, SEARCH, unroll=False):
     """img_packed: (G, Hpad, nimg*Wpad) reflect-padded strips -> (G, nimg,
     H, W) denoised."""
     G = img_packed.shape[0]
@@ -228,8 +314,10 @@ def _sym_call(img_packed, nimg, H, W, TEMPLATE, SEARCH):
     shifts = jnp.stack(
         [img_packed[:, v : v + HG, :] for v in range(hs + 1)], axis=1
     )
-    kernel = functools.partial(_kernel_sym, H=H, W=W, nimg=nimg,
-                               TEMPLATE=TEMPLATE, SEARCH=SEARCH)
+    kernel = functools.partial(
+        _kernel_sym_full if unroll else _kernel_sym,
+        H=H, W=W, nimg=nimg, TEMPLATE=TEMPLATE, SEARCH=SEARCH,
+    )
     return pl.pallas_call(
         kernel,
         grid=(G,),
@@ -245,15 +333,18 @@ def _sym_call(img_packed, nimg, H, W, TEMPLATE, SEARCH):
             memory_space=pltpu.VMEM,
         ),
         out_shape=jax.ShapeDtypeStruct((G, nimg, H, W), jnp.int32),
+        # the fully-unrolled kernel's flat dependence graph lets Mosaic keep
+        # more planes live: it needs a ~112M scoped budget (v5e has 128M)
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=64 * 1024 * 1024
+            vmem_limit_bytes=(118 if unroll else 64) * 1024 * 1024
         ),
     )(shifts)
 
 
 def nl_means_denoise_u8_pallas_sym(img_batch: jax.Array, *,
                                    TEMPLATE=TEMPLATE,
-                                   SEARCH=SEARCH) -> jax.Array:
+                                   SEARCH=SEARCH,
+                                   unroll=False) -> jax.Array:
     """Symmetric-weights variant of nl_means_denoise_u8_pallas (same
     contract): (B, H, W) int 0..255 -> (B, H, W) int32 denoised."""
     B, H, W = img_batch.shape
@@ -261,13 +352,14 @@ def nl_means_denoise_u8_pallas_sym(img_batch: jax.Array, *,
     p = SEARCH // 2 + ts
     x = img_batch.astype(jnp.float32)
     xpad = jnp.pad(x, ((0, 0), (p, p), (p, p)), mode="reflect")
-    out = _sym_call(xpad, 1, H, W, TEMPLATE, SEARCH)
+    out = _sym_call(xpad, 1, H, W, TEMPLATE, SEARCH, unroll=unroll)
     return out.reshape(B, H, W)
 
 
 def nl_means_denoise_u8_pallas_packed_sym(img_batch: jax.Array, *,
                                           TEMPLATE=TEMPLATE,
-                                          SEARCH=SEARCH) -> jax.Array:
+                                          SEARCH=SEARCH,
+                                          unroll=False) -> jax.Array:
     """Lane-packed symmetric variant: pairs of images share one program's
     lane tiles (same packing as nl_means_denoise_u8_pallas_packed). Odd
     batches are padded with a copy of the last image."""
@@ -282,7 +374,7 @@ def nl_means_denoise_u8_pallas_packed_sym(img_batch: jax.Array, *,
     seg = W + 2 * p
     packed = xpad.reshape(Bp // 2, 2, H + 2 * p, seg)
     packed = jnp.concatenate([packed[:, 0], packed[:, 1]], axis=-1)
-    out = _sym_call(packed, 2, H, W, TEMPLATE, SEARCH)
+    out = _sym_call(packed, 2, H, W, TEMPLATE, SEARCH, unroll=unroll)
     return out.reshape(Bp, H, W)[:B]
 
 

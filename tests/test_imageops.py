@@ -225,6 +225,8 @@ def test_pallas_packed_nlmeans_interpret_parity():
             b = np.asarray(pn.nl_means_denoise_u8_pallas_packed(imgs, **kw))
             c = np.asarray(pn.nl_means_denoise_u8_pallas_sym(imgs, **kw))
             d = np.asarray(pn.nl_means_denoise_u8_pallas_packed_sym(imgs, **kw))
+            e = np.asarray(pn.nl_means_denoise_u8_pallas_packed_sym(
+                imgs, unroll=True, **kw))
     np.testing.assert_array_equal(a, b)
     # the symmetric-weights kernels compute half the offsets by reusing
     # each weight plane at the mirrored offset; weights are bit-identical
@@ -232,6 +234,7 @@ def test_pallas_packed_nlmeans_interpret_parity():
     # inputs the whole output matches exactly
     np.testing.assert_array_equal(a, c)
     np.testing.assert_array_equal(a, d)
+    np.testing.assert_array_equal(a, e)
 
 
 def test_pallas_nlmeans_tree_unroll_interpret():

@@ -22,8 +22,10 @@ def chain(kern):
         return jax.lax.fori_loop(0, N, body, x)
     return jax.jit(f)
 
-old = chain(pn.nl_means_denoise_u8_pallas_packed)
-new = chain(pn.nl_means_denoise_u8_pallas_packed_sym)
+import functools
+old = chain(pn.nl_means_denoise_u8_pallas_packed_sym)
+new = chain(functools.partial(pn.nl_means_denoise_u8_pallas_packed_sym,
+                              unroll=True))
 
 def run(f, name):
     t0 = time.time()
@@ -38,5 +40,5 @@ def run(f, name):
     print(f"{name}: best {best*1000:.1f} ms for {N}x{B} imgs -> {per:.3f} ms/img", flush=True)
 
 for _ in range(2):
-    run(old, "old_packed")
-    run(new, "sym_packed")
+    run(old, "sym_fori")
+    run(new, "sym_unroll")
