@@ -569,13 +569,15 @@ class FlaxInterpreter:
         return [list(s.frame_indices) for s in segments], preprocessed, masses
 
     def _track_features(self, clip_ctx, track):
-        """Per-track MVM feature vector (zeros placeholder when mvm off)."""
+        """Per-track 188-dim MVM feature vector, featurenorms-standardized
+        (reference interpreter.py:439-445 forest_process_track(normalize=True)
+        feeding the kerasmodel.py:310 Input((188)) branch). Zeros placeholder
+        when mvm is off."""
         if not self.params.mvm:
             return np.zeros((1,), np.float32)
         from classifier_pipeline_tpu.models.forest import (
             _RemappedRegion,
-            aggregate_track_features,
-            forest_features,
+            track_feature_vector,
         )
 
         thermal = clip_ctx._thermal_np
@@ -589,8 +591,7 @@ class FlaxInterpreter:
             if not r.blank and r.width > 0 and r.height > 0
             and clip_ctx.has_frame(r.frame_number)
         ]
-        pf, _, _ = forest_features(thermal, filtered, background, regions)
-        return aggregate_track_features(pf)
+        return track_feature_vector(thermal, filtered, background, regions)
 
     def classify_track_fused(self, clip_ctx, track, segments):
         """One device round trip per track: preprocess + forward fused."""

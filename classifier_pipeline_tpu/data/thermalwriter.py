@@ -17,7 +17,7 @@ from pathlib import Path
 
 import numpy as np
 
-from classifier_pipeline_tpu.models.forest import forest_features
+from classifier_pipeline_tpu.models.forest import track_feature_vector
 
 from . import tfrecords as tfr
 from .rawdb import RawDatabase
@@ -107,12 +107,14 @@ def sample_data_for_clip(db: RawDatabase, tracks_samples, labels,
                 max_diff = mx
         if min_diff is None:
             continue
-        # per-frame features (buf_len=1 -> (N, 11))
+        # per-track 188-dim MVM vector: [avg,std,max,min,diff] x 36 movement
+        # features + 7 burst features + frame count, featurenorms-normalized
+        # (reference thermalwriter.py:310-317 forest_features(normalize=True)
+        # feeding the thermaldataset.py:258 FixedLenSequenceFeature([36*5+8])
+        # schema); zeros when the track is too short to aggregate.
         bounds = [r for r in track.bounds_history if not r.blank
                   and r.width > 0 and r.height > 0 and r.frame_number < len(thermal)]
-        features, _, _ = forest_features(thermal, filtered, background, bounds)
-        if features is None:
-            features = np.zeros((0, 11), np.float32)
+        features = track_feature_vector(thermal, filtered, background, bounds)
 
         cache = {}
         for sample in samples:
