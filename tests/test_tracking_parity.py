@@ -2,16 +2,25 @@
 
 possum.txt ships with the reference repo and is the tracker's acceptance
 oracle (same role as tests/tracking-tests.yml in the reference CI). The
-matcher tolerances mirror the reference's trackingtest.py (MAX_ERROR=8 px),
-but our tracker currently matches exactly, so we assert much tighter.
+hedgehog (no background frame) and possum_l35 (lepton3.5: weight_add=1.0,
+background_thresh=50) goldens are minted by running the reference pipeline
+itself on CPU (tools/mint_goldens.py); that harness reproduces possum.txt
+field-for-field, validating the oracle.
+
+Tolerances are EXACT: every box and mass equal, tracking_score to 1e-4
+(float association order), except a documented ±1 mass count on the l35
+variant. The reference's own matcher allows MAX_ERROR=8 px.
 """
 
 import json
+from pathlib import Path
 
-import numpy as np
 import pytest
 
 from classifier_pipeline_tpu.pipeline.extractor import extract_file
+
+GOLDENS = Path(__file__).parent / "goldens"
+FIXTURES = Path(__file__).parent / "fixtures"
 
 
 @pytest.fixture(scope="module")
@@ -19,36 +28,31 @@ def possum_result(possum_cptv):
     return extract_file(possum_cptv)
 
 
-def test_possum_track_parity(possum_result, possum_meta):
-    mine = possum_result.metadata["tracks"]
-    gold = possum_meta["tracks"]
-    assert len(mine) == len(gold) == 2
+def assert_tracks_match(mine, gold, mass_tol=0, score_tol=1e-4):
+    assert len(mine) == len(gold)
     for m, g in zip(mine, gold):
         assert m["frame_start"] == g["frame_start"]
         assert m["frame_end"] == g["frame_end"]
         assert m["num_frames"] == g["num_frames"]
         assert m["start_s"] == g["start_s"]
         assert m["end_s"] == g["end_s"]
-        assert abs(m["tracking_score"] - g["tracking_score"]) < 0.35
+        assert abs(m["tracking_score"] - g["tracking_score"]) < score_tol
         gp = {p["frame_number"]: p for p in g["positions"]}
         mp = {p["frame_number"]: p for p in m["positions"]}
         assert set(gp) == set(mp)
-        box_exact = 0
         for fn in gp:
             a, b = mp[fn], gp[fn]
-            # boxes must be near-exact; mass may drift a few counts from the
-            # NL-means LUT approximation
-            assert abs(a["x"] - b["x"]) <= 1 and abs(a["y"] - b["y"]) <= 1
-            assert abs(a["width"] - b["width"]) <= 2
-            assert abs(a["height"] - b["height"]) <= 2
-            assert abs(a["mass"] - b["mass"]) <= max(5, 0.02 * b["mass"])
-            assert a["blank"] == b["blank"]
-            if (a["x"], a["y"], a["width"], a["height"]) == (
+            assert (a["x"], a["y"], a["width"], a["height"]) == (
                 b["x"], b["y"], b["width"], b["height"]
-            ):
-                box_exact += 1
-        # expect essentially everything to be pixel-exact
-        assert box_exact >= len(gp) - 1
+            ), f"box mismatch at frame {fn}"
+            assert abs(a["mass"] - b["mass"]) <= mass_tol, f"mass at {fn}"
+            assert a["blank"] == b["blank"]
+
+
+def test_possum_track_parity(possum_result, possum_meta):
+    assert len(possum_meta["tracks"]) == 2
+    assert_tracks_match(possum_result.metadata["tracks"],
+                        possum_meta["tracks"])
 
 
 def test_possum_metadata_fields(possum_result, possum_meta):
@@ -62,16 +66,39 @@ def test_possum_metadata_fields(possum_result, possum_meta):
     assert pos_keys == gold_keys
 
 
-def test_hedgehog_runs(hedgehog_cptv):
-    """hedgehog has no embedded background frame and no golden tracks file;
-    smoke-check the no-background path (reference regression suite uses it
-    for the speed bound)."""
+def test_hedgehog_track_parity(hedgehog_cptv):
+    """hedgehog has no embedded background frame: the rolling-background
+    bootstrap path, golden-checked against the reference's own output."""
+    gold = json.loads((GOLDENS / "hedgehog.txt").read_text())
     res = extract_file(hedgehog_cptv)
     assert res.n_frames == 119
-    # the hedgehog clip contains a real animal; tracking should find it
-    assert len(res.tracks) >= 1
-    t = res.metadata["tracks"][0]
-    assert t["num_frames"] > 9
+    assert len(gold["tracks"]) == 1
+    assert_tracks_match(res.metadata["tracks"], gold["tracks"])
+
+
+def test_lepton35_track_parity():
+    """lepton3.5 branch: weight_add=1.0 + background_thresh=50 tables
+    (reference cliptrackextractor.py:124-127, thermalconfig.py:82-84).
+    Fixture is possum re-telemetried into the centi-Kelvin range; golden
+    minted from the reference. One frame's mass differs by 1 count (float
+    association order under the +25640 shift)."""
+    gold = json.loads((GOLDENS / "possum_l35.txt").read_text())
+    res = extract_file(FIXTURES / "possum_l35.cptv")
+    m = res.metadata
+    assert m["camera_model"] == gold["camera_model"] == "lepton3.5"
+    assert m["background_thresh"] == gold["background_thresh"] == 50
+    assert len(gold["tracks"]) == 1
+    assert_tracks_match(m["tracks"], gold["tracks"], mass_tol=1)
+
+
+def test_minted_possum_equals_shipped_golden(possum_meta):
+    """The golden-minting harness (tools/mint_goldens.py, reference-as-
+    oracle) must reproduce the reference CI's shipped possum.txt exactly —
+    this pins the trust chain for the hedgehog/l35 goldens above."""
+    minted = json.loads((GOLDENS / "possum_minted.txt").read_text())
+    assert_tracks_match(minted["tracks"], possum_meta["tracks"],
+                        score_tol=1e-9)
+    assert minted["background_thresh"] == possum_meta["background_thresh"]
 
 
 def test_sharded_batch_matches_single_device(possum_cptv):
