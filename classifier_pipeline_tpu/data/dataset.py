@@ -21,9 +21,10 @@ from .rawdb import RawDatabase
 
 VALIDATION_PERCENT = 0.15
 TEST_PERCENT = 0.05
-MIN_SAMPLES = 100
-MIN_TRACKS = 100
-LOW_SAMPLES_LABELS = ["wallaby", "human", "dog"]
+# reference build.py:31-34 (current values; older revisions used 100)
+MIN_SAMPLES = 1
+MIN_TRACKS = 1
+LOW_SAMPLES_LABELS = []
 SPLIT_BY_CLIP_LABELS = ["vehicle", "penguin", "wallaby"]
 
 DEFAULT_IGNORED = ["insect", "untagged", "unidentified", "not identifiable"]
@@ -180,6 +181,10 @@ class Dataset:
             segment_length=self.segment_length,
             segment_spacing=self.segment_spacing,
             segment_types=self.segment_types, use_segments=self.use_segments,
+            segment_min_avg_mass=self.segment_min_avg_mass,
+            max_segments=self.max_segments,
+            min_frame_mass=self.min_frame_mass, max_frames=self.max_frames,
+            tag_precedence=self.tag_precedence,
         )
         d.labels = list(self.labels)
         d.clips = self.clips
@@ -260,6 +265,145 @@ def split_randomly(dataset: Dataset, test_clips=(), use_test=True, seed=None):
         dataset.sub_dataset("validation", val_s),
         dataset.sub_dataset("test", test_s),
     )
+
+
+def split_by_file(master: Dataset, split_file, base_dir, make_val=True):
+    """Deterministic splits from a datasplit.json (reference build.py
+    split_by_file, :371-414): each split section lists clip source files;
+    clips load directly into that split's dataset. Labels are unified
+    across the three splits. With make_val, train is re-split randomly
+    into train/validation (the file's validation section is ignored,
+    matching the reference default)."""
+    import json
+
+    base_dir = Path(base_dir)
+    with open(split_file) as f:
+        wanted = json.load(f)
+
+    splits = []
+    for name in ("train", "validation", "test"):
+        part = master.sub_dataset(name, [])
+        part.clips = []
+        if name == "train":
+            part.enable_augmentation = True
+        elif name == "test":
+            part.skip_ffc = False
+        for entry in wanted.get(name, []):
+            src = base_dir / entry["source"]
+            if not src.exists():
+                continue
+            try:
+                part.load_clip(src, dont_filter_segment=True)
+            except Exception:
+                logging.error("Could not load %s", src, exc_info=True)
+        splits.append(part)
+
+    labels = sorted({l for part in splits for l in part.labels})
+    for part in splits:
+        part.labels = list(labels)
+    if make_val:
+        train, val, _ = split_randomly(splits[0], use_test=False)
+        splits = [train, val, splits[2]]
+    return splits
+
+
+def dump_split_ids(datasets, out_file):
+    """Record which clip went where (reference build.py dump_split_ids,
+    :635-656) — the input format of split_by_file."""
+    import json
+
+    doc = {}
+    for d in datasets:
+        by_source = {}
+        for s in d.samples_by_id.values():
+            by_source.setdefault(s.source_file, []).append(s)
+        doc[d.name] = [
+            {
+                "clip_id": group[0].clip_id,
+                "source": str(src),
+                "station_id": "{}".format(group[0].station_id),
+                "tags": sorted({s.label for s in group}),
+            }
+            for src, group in by_source.items()
+        ]
+    with open(out_file, "w") as f:
+        json.dump(doc, f)
+
+
+def validate_datasets(datasets, test_bins=None, after_date=None):
+    """Split hygiene asserts (reference build.py validate_datasets,
+    :526-560): a bin appears in at most one split, and test-forced bins
+    appear only in the test split. Bins recorded after `after_date`
+    legitimately exist only in test and are excluded from the overlap
+    check against it."""
+    test_bins = set(test_bins) if test_bins else None
+    bin_sets = []
+    for d in datasets:
+        bins = {s.bin_id for s in d.samples_by_id.values()}
+        bin_sets.append(bins)
+        if test_bins and d.name != "test":
+            overlap = bins & test_bins
+            assert not overlap, (
+                f"test bins leaked into {d.name}: {sorted(overlap)[:5]}")
+    for i, d in enumerate(datasets[:2]):
+        if not bin_sets[i]:
+            continue
+        for j in range(i + 1, len(datasets)):
+            other = datasets[j]
+            if other.name == d.name:
+                continue
+            other_bins = set(bin_sets[j])
+            if other.name == "test" and after_date is not None:
+                other_bins -= {
+                    s.bin_id for s in other.samples_by_id.values()
+                    if s.rec_time is not None and s.rec_time > after_date
+                }
+            overlap = bin_sets[i] & other_bins
+            assert not overlap, (
+                f"bins straddle {d.name}/{other.name}: {sorted(overlap)[:5]}")
+
+
+# Birds whose taxonomy path collapses to "bird" for every other species but
+# which train as their own class (reference build.py land_birds, :565-576).
+LAND_BIRDS = [
+    "pukeko", "california quail", "brown quail", "black swan", "quail",
+    "pheasant", "penguin", "duck", "chicken", "rooster",
+]
+
+
+def regroup_label(label, tax_path):
+    """Map one classification taxonomy path to a training label (reference
+    build.py get_mappings, :596-632): mammals group to their genus level,
+    kiwi subtypes to kiwi, other birds to 'bird', land birds stay
+    themselves."""
+    if label in LAND_BIRDS:
+        return label
+    parts = tax_path.split(".")
+    if len(parts) == 1:
+        return label
+    if tax_path.startswith("all.mammal"):
+        return parts[-2] if len(parts) == 4 else label
+    parent = parts[-2]
+    if parent == "kiwi" or parts[-1] == "kiwi":
+        return "kiwi"
+    if parent == "other":
+        return label
+    if "bird." in tax_path:
+        return "bird"
+    if len(parts) > 2:
+        return parts[-3]
+    return parts[-1]
+
+
+def load_label_mapping(label_paths_file):
+    """label_paths.json -> {original label: training label} (reference
+    build.py get_mappings; the file ships with the Cacophony API and the
+    reference repo at src/label_paths.json)."""
+    import json
+
+    with open(label_paths_file) as f:
+        label_paths = json.load(f)
+    return {l: regroup_label(l, p) for l, p in label_paths.items()}
 
 
 def rough_balance(datasets, cap_percentile=75):

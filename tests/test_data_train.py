@@ -228,3 +228,106 @@ def test_full_loop_build_train_classify(tagged_corpus, tmp_path):
     for track_preds in preds:
         for pm in track_preds or []:
             assert "tag" in pm and "model_id" in pm and "confidence" in pm
+
+
+def test_build_split_file_and_validate(tagged_corpus, hedgehog_cptv,
+                                       possum_meta, tmp_path):
+    """Random build dumps datasplit.json; rebuilding with --split-file
+    reproduces the same clip->split assignment deterministically
+    (reference build.py:371-414 split_by_file + :635 dump_split_ids)."""
+    import shutil
+
+    from classifier_pipeline_tpu.cli import build
+
+    # widen the corpus: a second, differently-tagged clip
+    corpus = tmp_path / "corpus"
+    shutil.copytree(tagged_corpus, corpus)
+    shutil.copy(hedgehog_cptv, corpus / "hedgehog.cptv")
+    meta = json.loads(json.dumps(possum_meta))
+    meta["id"] = 202
+    hh = json.loads((Path(__file__).parent / "goldens/hedgehog.txt").read_text())
+    meta["tracks"] = hh["tracks"]
+    for t in meta["tracks"]:
+        t["tags"] = [{"what": "hedgehog", "confidence": 0.9,
+                      "automatic": False, "path": "all.mammal.hedgehog"}]
+    (corpus / "hedgehog.txt").write_text(json.dumps(meta, default=float))
+
+    out1 = tmp_path / "r1"
+    assert build.main([str(corpus), "-o", str(out1), "--seed", "3",
+                       "--num-shards", "1"]) == 0
+    split_file = out1 / "datasplit.json"
+    assert split_file.exists()
+    split = json.loads(split_file.read_text())
+    assert set(split) == {"train", "validation", "test"}
+    listed = [e["source"] for part in split.values() for e in part]
+    assert listed, "datasplit.json lists no clips"
+    for e in (e for part in split.values() for e in part):
+        assert {"clip_id", "source", "station_id", "tags"} <= set(e)
+
+    # hand-written split: possum (2 tracks -> 2 bins, so make_val's re-split
+    # leaves one in train) and hedgehog pinned to test
+    manual = tmp_path / "split.json"
+    manual.write_text(json.dumps({
+        "train": [{"source": str(corpus / "possum.cptv")}],
+        "validation": [],
+        "test": [{"source": str(corpus / "hedgehog.cptv")}],
+    }))
+    out2 = tmp_path / "r2"
+    assert build.main([str(corpus), "-o", str(out2), "--seed", "3",
+                       "--num-shards", "1",
+                       "--split-file", str(manual)]) == 0
+    meta2 = json.loads((out2 / "training-meta.json").read_text())
+    assert sum(meta2["counts"]["test"].values()) >= 1, "pinned test clip lost"
+    total = sum(sum(c.values()) for c in meta2["counts"].values())
+    assert total >= 2
+
+
+def test_validate_datasets_catches_leak(tagged_corpus, tmp_path):
+    from classifier_pipeline_tpu.data.dataset import (
+        Dataset,
+        split_randomly,
+        validate_datasets,
+    )
+
+    master = Dataset(tagged_corpus, "dataset")
+    master.load_clips(dont_filter_segment=True)
+    datasets = split_randomly(master, seed=1)
+    validate_datasets(datasets)  # clean split passes
+
+    # force a leak: copy one validation/test sample into train
+    donor = next(d for d in datasets[1:] if d.samples_by_id)
+    leak = next(iter(donor.samples_by_id.values()))
+    datasets[0].add_sample(leak)
+    with pytest.raises(AssertionError):
+        validate_datasets(datasets)
+
+
+def test_label_mapping_matches_reference_oracle(tmp_path, monkeypatch):
+    """load_label_mapping regroups the full 534-label taxonomy identically
+    to the reference's get_mappings (run as oracle with shimmed deps)."""
+    import shutil
+    import sys
+
+    from classifier_pipeline_tpu.data.dataset import load_label_mapping
+
+    src = Path("/root/reference/src/label_paths.json")
+    if not src.exists():
+        pytest.skip("reference label_paths.json unavailable")
+    mine = load_label_mapping(src)
+
+    sys.path.insert(0, str(Path(__file__).parent.parent / "tools"))
+    try:
+        from mint_goldens import install_shims
+    finally:
+        sys.path.pop(0)
+    install_shims()
+    shutil.copy(src, tmp_path / "label_paths.json")
+    monkeypatch.chdir(tmp_path)
+    sys.path.insert(0, "/root/reference/src")
+    try:
+        from build import get_mappings
+
+        theirs = get_mappings()
+    finally:
+        sys.path.pop(0)
+    assert mine == theirs
