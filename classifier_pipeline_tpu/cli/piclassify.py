@@ -77,6 +77,143 @@ def replay_file(args, config, thermal_config):
     return 0
 
 
+def replay_ir_file(args, config, thermal_config):
+    """IR video replay: decode an mp4/avi (or frame directory) and drive the
+    same PiClassifier loop at the IR fps budget (reference ir_camera's
+    processing path, piclassify.py:455-540, minus the live capture)."""
+    from classifier_pipeline_tpu.pipeline.cameras import HeaderInfo
+    from classifier_pipeline_tpu.pipeline.ir_extractor import IR_FPS, load_video
+    from classifier_pipeline_tpu.pipeline.piclassifier import PiClassifier
+    from classifier_pipeline_tpu.pipeline.recorders import DummyRecorder
+
+    frames = load_video(args.file)
+    T, res_y, res_x = frames.shape
+    headers = HeaderInfo(
+        res_x=res_x, res_y=res_y, fps=IR_FPS, brand=None, model="IR",
+        frame_size=res_x * res_y, pixel_bits=8, serial="", firmware="",
+    )
+    recorder = DummyRecorder(thermal_config, headers)
+    pi = PiClassifier(
+        config, thermal_config, headers,
+        classify=thermal_config.motion.run_classifier and args.classify,
+        recorder=recorder, seed=args.seed,
+    )
+    target_dt = 1.0 / args.fps if args.fps else 0
+    start = time.time()
+    for pix in frames:
+        t0 = time.time()
+        pi.process_frame(_IRFrame(pix), time.time())
+        if target_dt:
+            leftover = target_dt - (time.time() - t0)
+            if leftover > 0:
+                time.sleep(leftover)
+    pi.disconnected()
+    elapsed = time.time() - start
+    logging.info("Replayed %d IR frames in %.1fs (%.1f fps)", T, elapsed,
+                 T / max(elapsed, 1e-9))
+    return 0
+
+
+class _IRFrame:
+    """Camera-frame shim for IR pixels (no telemetry)."""
+
+    __slots__ = ("pix", "time_on", "last_ffc_time", "temp_c",
+                 "last_ffc_temp_c")
+
+    def __init__(self, pix):
+        self.pix = pix
+        self.time_on = None
+        self.last_ffc_time = None
+        self.temp_c = 0.0
+        self.last_ffc_temp_c = 0.0
+
+
+def ir_camera(args, config, thermal_config):
+    """Live IR capture loop (reference piclassify.py:455-540): cv2 video
+    capture at 10 fps feeding the classifier via a queue, with adaptive
+    frame dropping when the consumer falls behind (drop every 9th, tighten
+    by one each time the queue stays above 4 s of frames; reset below 3 s)."""
+    import cv2  # optional IR video decode — the one allowed cv2 use
+
+    from classifier_pipeline_tpu.pipeline.cameras import HeaderInfo
+    from classifier_pipeline_tpu.pipeline.ir_extractor import IR_FPS
+    from classifier_pipeline_tpu.pipeline.piclassifier import PiClassifier
+    from classifier_pipeline_tpu.services.eventreporter import log_event
+
+    cap = cv2.VideoCapture(args.ir_camera)
+    cap.set(cv2.CAP_PROP_FPS, IR_FPS)
+    res_x = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
+    res_y = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    headers = HeaderInfo(
+        res_x=res_x, res_y=res_y, fps=IR_FPS, brand=None, model="IR",
+        frame_size=res_x * res_y, pixel_bits=8, serial="", firmware="",
+    )
+    logging.info("IR camera connected %dx%d", res_x, res_y)
+
+    process_queue: queue.Queue = queue.Queue()
+    pi_holder = {}
+
+    def classifier_loop():
+        pi = PiClassifier(
+            config, thermal_config, headers,
+            classify=thermal_config.motion.run_classifier,
+            seed=args.seed,
+        )
+        pi_holder["pi"] = pi
+        while True:
+            item = process_queue.get()
+            if item is None:
+                break
+            frame, received = item
+            try:
+                pi.process_frame(frame, received)
+            except Exception:
+                logging.exception("IR classifier crashed; restarting")
+                log_event("Classify Error", "classifier restarted")
+                pi = PiClassifier(
+                    config, thermal_config, headers,
+                    classify=thermal_config.motion.run_classifier,
+                    seed=args.seed,
+                )
+                pi_holder["pi"] = pi
+        pi.disconnected()
+
+    worker = threading.Thread(target=classifier_loop, daemon=True)
+    worker.start()
+    frames = 0
+    drop_every = None
+    drop_start = 0
+    try:
+        while True:
+            ok, pix = cap.read()
+            if not ok:
+                logging.info("no frame from IR capture")
+                break
+            frames += 1
+            if frames == 1:
+                log_event("camera-connected", {"type": "IR"})
+            if drop_every is not None and (frames - drop_start) % drop_every == 0:
+                logging.debug("dropping IR frame (slow processing)")
+            else:
+                process_queue.put((_IRFrame(pix), time.time()))
+            qsize = process_queue.qsize()
+            if qsize > headers.fps * 4 and (
+                drop_every is None or frames > drop_start + drop_every
+            ):
+                drop_every = DROP_EVERY if drop_every is None else max(
+                    1, drop_every - 1)
+                drop_start = frames + 1
+                logging.info("dropping every %s frame, qsize %s",
+                             drop_every, qsize)
+            elif qsize < headers.fps * 3:
+                drop_every = None
+    finally:
+        cap.release()
+        process_queue.put(None)
+        worker.join(timeout=30)
+    return frames
+
+
 def handle_connection(conn, config, thermal_config, args):
     from classifier_pipeline_tpu.pipeline.cameras import (
         HeaderInfo,
@@ -201,6 +338,10 @@ def main(argv=None):
     parser.add_argument("--detect-after", type=int, default=None)
     parser.add_argument("--no-classify", dest="classify", action="store_false")
     parser.add_argument("--socket", default=SOCKET_NAME)
+    parser.add_argument("--ir", action="store_true",
+                        help="IR camera mode (cv2 capture loop)")
+    parser.add_argument("--ir-camera", type=int, default=0,
+                        help="cv2 VideoCapture index for --ir")
     parser.add_argument("--platform", choices=["tpu", "cpu", "default"], default="default")
     args = parser.parse_args(argv)
     if args.platform == "cpu":
@@ -220,7 +361,13 @@ def main(argv=None):
     thermal_config = ThermalConfig.load_from_file(args.thermal_config_file)
 
     if args.file:
+        if Path(args.file).suffix.lower() in (".mp4", ".avi") or Path(
+                args.file).is_dir():
+            return replay_ir_file(args, config, thermal_config)
         return replay_file(args, config, thermal_config)
+
+    if args.ir:
+        return ir_camera(args, config, thermal_config)
 
     # config-change watcher: exit so the service manager restarts us with
     # the new config (reference monitorconfig.py:7 + piclassify.py:193-199)

@@ -81,6 +81,80 @@ def _box_cb(d2, HO, WO, TEMPLATE):
     return cb
 
 
+class _SymGrid:
+    """Shared geometry + math of the two symmetric-weights kernels.
+
+    Both kernels MUST produce bit-identical weight planes — the exact-parity
+    tests rely on it — so the weight computation, the v=0 horizontal tail,
+    and the finalize step live here in exactly one copy. The kernels differ
+    only in how they realize the v-dependent row shift of the -o reuse tap.
+    """
+
+    def __init__(self, shifts_ref, H, W, nimg, TEMPLATE, SEARCH):
+        self.H, self.W, self.nimg = H, W, nimg
+        self.TEMPLATE = TEMPLATE
+        self.ts = ts = TEMPLATE // 2
+        self.hs = hs = SEARCH // 2
+        self.p = p = hs + ts
+        self.inv = -1.0 / (H_PARAM * H_PARAM * TEMPLATE * TEMPLATE)
+        self.HG = HG = H + 2 * ts + hs   # uniform extended row grid
+        WG = W + 2 * ts + hs             # per-image work width
+        self.Wpad = Wpad = W + 2 * p     # per-image strip width
+        self.WGp = WGp = (nimg - 1) * Wpad + WG   # packed work width
+        self.WA = (nimg - 1) * Wpad + W  # packed accumulator width
+        self.B = B = shifts_ref[0, 0]    # (HG, nimg*Wpad) unshifted frame
+        # loop-invariant base slices for the two column origins
+        self.B0 = jax.lax.slice(B, (0, 0), (HG, WGp))
+        self.Bh = jax.lax.slice(B, (0, hs), (HG, hs + WGp))
+
+    def weights(self, A, u):
+        """Weight plane + plus-tap slices for offset pair o = (v, u)."""
+        H, hs, p = self.H, self.hs, self.p
+        c0 = 0 if u >= 0 else hs
+        bsl = self.B0 if u >= 0 else self.Bh
+        asl = jax.lax.slice(A, (0, c0 + u), (self.HG, c0 + u + self.WGp))
+        d2 = (asl - bsl) ** 2
+        cb = _box_cb(d2, H + hs, self.WA + hs, self.TEMPLATE)
+        w = jnp.exp(cb * self.inv)
+        wc = hs if u >= 0 else 0
+        wp = jax.lax.slice(w, (hs, wc), (hs + H, wc + self.WA))
+        cp = jax.lax.slice(A, (p, p + u), (p + H, p + u + self.WA))
+        return w, wp, cp, wc
+
+    def v0_tail(self, nums, dens, k):
+        """v=0 row: horizontal-only pairs, both taps at static offsets."""
+        H, hs, p, WA = self.H, self.hs, self.p, self.WA
+        for u in range(1, hs + 1):
+            w, wp, cp, wc = self.weights(self.B, u)
+            wm = jax.lax.slice(w, (hs, wc - u), (hs + H, wc - u + WA))
+            cm = jax.lax.slice(self.B, (p, p - u), (p + H, p - u + WA))
+            i, j = k % _N_PARTIAL, (k + 1) % _N_PARTIAL
+            nums[i] = nums[i] + wp * cp
+            dens[i] = dens[i] + wp
+            nums[j] = nums[j] + wm * cm
+            dens[j] = dens[j] + wm
+            k += 2
+        return k
+
+    def finalize(self, nums, dens, out_ref):
+        """Reduce the round-robin partials, add the centre tap
+        (w == exp(0) == 1 exactly, no exp needed), clip, emit strips."""
+        H, p, WA, Wpad = self.H, self.p, self.WA, self.Wpad
+        num = nums[0]
+        for t in nums[1:]:
+            num = num + t
+        den = dens[0]
+        for t in dens[1:]:
+            den = den + t
+        num = num + jax.lax.slice(self.B, (p, p), (p + H, p + WA))
+        den = den + 1.0
+        out = num / den
+        out = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.int32)
+        for i in range(self.nimg):
+            out_ref[0, i] = jax.lax.slice(
+                out, (0, i * Wpad), (H, i * Wpad + self.W))
+
+
 def _kernel_sym(shifts_ref, out_ref, *, H, W, nimg, TEMPLATE=TEMPLATE,
                 SEARCH=SEARCH):
     """Symmetric-weights NL-means: half the search offsets.
@@ -91,49 +165,23 @@ def _kernel_sym(shifts_ref, out_ref, *, H, W, nimg, TEMPLATE=TEMPLATE,
     the weight planes w_o and w_{-o} are the SAME array read at shifted
     positions, bit-exactly. The kernel therefore computes d2/box/exp for
     only 221 of the 441 offsets (v in 0..hs) and accumulates each weight
-    plane twice: at x for +o and at x-o for -o. The v-dependent row shift
-    of the reuse tap is a dynamic sublane rotate (pltpu.roll), keeping v a
-    fori_loop index so program size stays small.
+    plane twice: at x for +o and at x-o for -o, with v a fori_loop index so
+    program size stays small.
 
     Work arrays live on an extended grid (HG = H+2ts+hs rows; per-u column
     origin 0 for u>=0, hs for u<0) so every per-pair slice offset is
     static. The -o taps of a v-iteration accumulate into a local buffer M
-    indexed by y = x - v (static offsets), and ONE dynamic sublane rotate
-    per v-iteration (pltpu.roll on an (8,128)-aligned pad of M — Mosaic
-    rejects unaligned dynamic rotates) shifts M into output coordinates.
-    `nimg` images are packed side-by-side along lanes (each a Wpad-wide
-    strip); nimg=1 is the plain single-image layout.
+    indexed by y = x - v (static offsets); ONE one-hot permutation matmul
+    per v-iteration shifts M into output coordinates (Mosaic rejects
+    unaligned dynamic sublane rotates). `nimg` images are packed
+    side-by-side along lanes (each a Wpad-wide strip).
 
     Output matches _kernel up to float num/den summation order (the weight
     values themselves are bit-identical; verified parity-safe for the
     golden tracking output).
     """
-    ts = TEMPLATE // 2
-    hs = SEARCH // 2
-    p = hs + ts
-    inv = -1.0 / (H_PARAM * H_PARAM * TEMPLATE * TEMPLATE)
-    HG = H + 2 * ts + hs          # uniform extended row grid
-    WG = W + 2 * ts + hs          # per-image work width
-    Wpad = W + 2 * p              # per-image strip width
-    WGp = (nimg - 1) * Wpad + WG  # packed work width
-    WA = (nimg - 1) * Wpad + W    # packed accumulator width
-    B = shifts_ref[0, 0]          # (HG, nimg*Wpad) unshifted frame
-    # loop-invariant base slices for the two column origins
-    B0 = jax.lax.slice(B, (0, 0), (HG, WGp))
-    Bh = jax.lax.slice(B, (0, hs), (HG, hs + WGp))
-
-    def weights(A, u):
-        """Weight plane + plus-tap slices for offset pair o = (v, u)."""
-        c0 = 0 if u >= 0 else hs
-        bsl = B0 if u >= 0 else Bh
-        asl = jax.lax.slice(A, (0, c0 + u), (HG, c0 + u + WGp))
-        d2 = (asl - bsl) ** 2
-        cb = _box_cb(d2, H + hs, WA + hs, TEMPLATE)
-        w = jnp.exp(cb * inv)
-        wc = hs if u >= 0 else 0
-        wp = jax.lax.slice(w, (hs, wc), (hs + H, wc + WA))
-        cp = jax.lax.slice(A, (p, p + u), (p + H, p + u + WA))
-        return w, wp, cp, wc
+    g = _SymGrid(shifts_ref, H, W, nimg, TEMPLATE, SEARCH)
+    hs, ts, p, WA = g.hs, g.ts, g.p, g.WA
 
     # v-rows per fori iteration: a larger loop body gives Mosaic more
     # independent work to pipeline (same reason the non-symmetric kernel
@@ -148,13 +196,13 @@ def _kernel_sym(shifts_ref, out_ref, *, H, W, nimg, TEMPLATE=TEMPLATE,
         md = [mz, mz]
         k = 0
         for u in range(-hs, hs + 1):
-            w, wp, cp, wc = weights(A, u)
+            w, wp, cp, wc = g.weights(A, u)
             i = k % _N_PARTIAL
             nums[i] = nums[i] + wp * cp
             dens[i] = dens[i] + wp
             # -o tap at static offsets in y coordinates
             wmf = jax.lax.slice(w, (0, wc - u), (H + hs, wc - u + WA))
-            cmf = jax.lax.slice(B, (ts, p - u), (ts + H + hs, p - u + WA))
+            cmf = jax.lax.slice(g.B, (ts, p - u), (ts + H + hs, p - u + WA))
             j = k % 2
             mn[j] = mn[j] + wmf * cmf
             md[j] = md[j] + wmf
@@ -190,31 +238,8 @@ def _kernel_sym(shifts_ref, out_ref, *, H, W, nimg, TEMPLATE=TEMPLATE,
     res = jax.lax.fori_loop(0, hs // VU, vbody, (z,) * (2 * _N_PARTIAL))
     nums = list(res[:_N_PARTIAL])
     dens = list(res[_N_PARTIAL:])
-    # v=0 row: horizontal-only pairs, both taps at static offsets
-    k = 0
-    for u in range(1, hs + 1):
-        w, wp, cp, wc = weights(B, u)
-        wm = jax.lax.slice(w, (hs, wc - u), (hs + H, wc - u + WA))
-        cm = jax.lax.slice(B, (p, p - u), (p + H, p - u + WA))
-        i, j = k % _N_PARTIAL, (k + 1) % _N_PARTIAL
-        nums[i] = nums[i] + wp * cp
-        dens[i] = dens[i] + wp
-        nums[j] = nums[j] + wm * cm
-        dens[j] = dens[j] + wm
-        k += 2
-    num = nums[0]
-    for t in nums[1:]:
-        num = num + t
-    den = dens[0]
-    for t in dens[1:]:
-        den = den + t
-    # centre offset: w == exp(0) == 1 exactly, no exp needed
-    num = num + jax.lax.slice(B, (p, p), (p + H, p + WA))
-    den = den + 1.0
-    out = num / den
-    out = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.int32)
-    for i in range(nimg):
-        out_ref[0, i] = jax.lax.slice(out, (0, i * Wpad), (H, i * Wpad + W))
+    g.v0_tail(nums, dens, 0)
+    g.finalize(nums, dens, out_ref)
 
 
 def _kernel_sym_full(shifts_ref, out_ref, *, H, W, nimg, TEMPLATE=TEMPLATE,
@@ -222,42 +247,20 @@ def _kernel_sym_full(shifts_ref, out_ref, *, H, W, nimg, TEMPLATE=TEMPLATE,
     """Fully-unrolled symmetric-weights NL-means.
 
     Same math as _kernel_sym (221 weight planes, each consumed at the +o
-    and -o taps, weights bit-identical), but `v` is a Python constant
-    instead of a fori_loop index, so the -o tap's v-dependent row shift is
-    a STATIC slice of the weight plane — no per-v one-hot permutation
-    matmul, no (H+hs, WA) staging buffers, no dynamic leading-dim index on
-    shifts_ref. The program is ~5x larger (221 unrolled offset bodies) but
-    every op is a static-slice VPU op, giving Mosaic a single flat
-    dependence graph to schedule.
+    and -o taps, weights bit-identical — shared via _SymGrid), but `v` is a
+    Python constant instead of a fori_loop index, so the -o tap's
+    v-dependent row shift is a STATIC slice of the weight plane — no per-v
+    one-hot permutation matmul, no (H+hs, WA) staging buffers, no dynamic
+    leading-dim index on shifts_ref. The program is ~5x larger (221
+    unrolled offset bodies) but every op is a static-slice VPU op, giving
+    Mosaic a single flat dependence graph to schedule.
 
     Output matches _kernel / _kernel_sym up to float num/den summation
     order (accumulation-order changes are verified parity-safe for the
     golden tracking output; see tools/golden_tpu.py).
     """
-    ts = TEMPLATE // 2
-    hs = SEARCH // 2
-    p = hs + ts
-    inv = -1.0 / (H_PARAM * H_PARAM * TEMPLATE * TEMPLATE)
-    HG = H + 2 * ts + hs
-    WG = W + 2 * ts + hs
-    Wpad = W + 2 * p
-    WGp = (nimg - 1) * Wpad + WG
-    WA = (nimg - 1) * Wpad + W
-    B = shifts_ref[0, 0]
-    B0 = jax.lax.slice(B, (0, 0), (HG, WGp))
-    Bh = jax.lax.slice(B, (0, hs), (HG, hs + WGp))
-
-    def weights(A, u):
-        c0 = 0 if u >= 0 else hs
-        bsl = B0 if u >= 0 else Bh
-        asl = jax.lax.slice(A, (0, c0 + u), (HG, c0 + u + WGp))
-        d2 = (asl - bsl) ** 2
-        cb = _box_cb(d2, H + hs, WA + hs, TEMPLATE)
-        w = jnp.exp(cb * inv)
-        wc = hs if u >= 0 else 0
-        wp = jax.lax.slice(w, (hs, wc), (hs + H, wc + WA))
-        cp = jax.lax.slice(A, (p, p + u), (p + H, p + u + WA))
-        return w, wp, cp, wc
+    g = _SymGrid(shifts_ref, H, W, nimg, TEMPLATE, SEARCH)
+    hs, p, WA = g.hs, g.p, g.WA
 
     z = jnp.zeros((H, WA), jnp.float32)
     nums = [z] * _N_PARTIAL
@@ -266,41 +269,20 @@ def _kernel_sym_full(shifts_ref, out_ref, *, H, W, nimg, TEMPLATE=TEMPLATE,
     for v in range(1, hs + 1):
         A = shifts_ref[0, v]  # static leading-dim index
         for u in range(-hs, hs + 1):
-            w, wp, cp, wc = weights(A, u)
+            w, wp, cp, wc = g.weights(A, u)
             # -o tap: output row x reads w row (x - v + hs), centre pixel
             # B row (x + p - v) — all offsets static because v, u are
             # Python constants here (vs _kernel_sym's matmul shift)
             wm = jax.lax.slice(w, (hs - v, wc - u), (hs - v + H, wc - u + WA))
-            cm = jax.lax.slice(B, (p - v, p - u), (p - v + H, p - u + WA))
+            cm = jax.lax.slice(g.B, (p - v, p - u), (p - v + H, p - u + WA))
             i, j = k % _N_PARTIAL, (k + 1) % _N_PARTIAL
             nums[i] = nums[i] + wp * cp
             dens[i] = dens[i] + wp
             nums[j] = nums[j] + wm * cm
             dens[j] = dens[j] + wm
             k += 2
-    # v=0 row: horizontal-only pairs (identical to _kernel_sym's tail)
-    for u in range(1, hs + 1):
-        w, wp, cp, wc = weights(B, u)
-        wm = jax.lax.slice(w, (hs, wc - u), (hs + H, wc - u + WA))
-        cm = jax.lax.slice(B, (p, p - u), (p + H, p - u + WA))
-        i, j = k % _N_PARTIAL, (k + 1) % _N_PARTIAL
-        nums[i] = nums[i] + wp * cp
-        dens[i] = dens[i] + wp
-        nums[j] = nums[j] + wm * cm
-        dens[j] = dens[j] + wm
-        k += 2
-    num = nums[0]
-    for t in nums[1:]:
-        num = num + t
-    den = dens[0]
-    for t in dens[1:]:
-        den = den + t
-    num = num + jax.lax.slice(B, (p, p), (p + H, p + WA))
-    den = den + 1.0
-    out = num / den
-    out = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.int32)
-    for i in range(nimg):
-        out_ref[0, i] = jax.lax.slice(out, (0, i * Wpad), (H, i * Wpad + W))
+    k = g.v0_tail(nums, dens, k)
+    g.finalize(nums, dens, out_ref)
 
 
 def _sym_call(img_packed, nimg, H, W, TEMPLATE, SEARCH, unroll=False):
@@ -314,6 +296,17 @@ def _sym_call(img_packed, nimg, H, W, TEMPLATE, SEARCH, unroll=False):
     shifts = jnp.stack(
         [img_packed[:, v : v + HG, :] for v in range(hs + 1)], axis=1
     )
+    if unroll:
+        # the unrolled kernel sits AT the VMEM ceiling for the current
+        # 160x120 nimg=2 layout (~112 MiB scoped of v5e's 128 MiB); any
+        # growth in packed width fails Mosaic's scoped-VMEM check with an
+        # opaque budget error, so fail early with a real message instead
+        if nimg * (W + 2 * (SEARCH // 2 + TEMPLATE // 2)) > 2 * 200:
+            raise ValueError(
+                f"unrolled NL-means kernel: packed width nimg={nimg} W={W} "
+                "exceeds the v5e VMEM budget (~112 MiB at 160x120 nimg=2); "
+                "use the fori-loop kernel (unroll=False) for wider layouts"
+            )
     kernel = functools.partial(
         _kernel_sym_full if unroll else _kernel_sym,
         H=H, W=W, nimg=nimg, TEMPLATE=TEMPLATE, SEARCH=SEARCH,

@@ -23,6 +23,7 @@ from classifier_pipeline_tpu.pipeline.motiondetector import CPTVMotionDetector
 from classifier_pipeline_tpu.pipeline.recorders import (
     CPTVRecorder,
     DummyRecorder,
+    IRRecorder,
     ThrottledRecorder,
 )
 from classifier_pipeline_tpu.pipeline.streamtracker import StreamingTracker
@@ -103,18 +104,33 @@ class PiClassifier:
                 self.fp_model.labels, fp_config, self.fp_model.thresholds
             )
 
-        self.motion_detector = CPTVMotionDetector(
-            thermal_config,
-            thermal_config.motion.dynamic_thresh,
-            headers,
-            detect_after=detect_after,
-        )
+        # IR cameras swap the motion detector, recorder class, and tracking
+        # step (reference piclassifier.py:157 init_ir vs init_thermal)
+        self.type = "IR" if headers.model == "IR" else "thermal"
+        if self.type == "IR":
+            from classifier_pipeline_tpu.pipeline.motiondetector import (
+                IRMotionDetector,
+            )
+
+            self.motion_detector = IRMotionDetector(thermal_config, headers)
+            default_rec = IRRecorder
+            # reference init_ir_tracking: classify cadence tightens to every
+            # 3rd frame at 10 fps
+            self.SKIP_FRAMES = 3
+        else:
+            self.motion_detector = CPTVMotionDetector(
+                thermal_config,
+                thermal_config.motion.dynamic_thresh,
+                headers,
+                detect_after=detect_after,
+            )
+            default_rec = CPTVRecorder
         if recorder is not None:
             self.recorder = recorder
             if getattr(recorder, "on_recording_stopping", None) is None:
                 recorder.on_recording_stopping = self.on_recording_stopping
         else:
-            rec = CPTVRecorder(
+            rec = default_rec(
                 thermal_config, headers,
                 on_recording_stopping=self.on_recording_stopping,
             )
@@ -126,34 +142,52 @@ class PiClassifier:
         # snapshot recorder (dbus TakeSnapshot; reference piclassifier.py
         # take_snapshot:896-905) — short fixed-length test recordings
         self.snapshot_recorder = (
-            CPTVRecorder(thermal_config, headers, name="SnapshotRecorder",
-                         file_suffix="-snapshot")
+            default_rec(thermal_config, headers, name="SnapshotRecorder",
+                        file_suffix="-snapshot")
             if recorder is None
             else DummyRecorder(thermal_config, headers, name="SnapshotRecorder")
         )
         # constant recorder (reference constant_recorder wiring :918-931)
         self.constant_recorder = None
         if thermal_config.recorder.constant_recorder:
-            self.constant_recorder = CPTVRecorder(
+            self.constant_recorder = default_rec(
                 thermal_config, headers, name="ConstantRecorder",
                 constant_recorder=True,
             )
 
-        th = threshold_for_model(headers.model)
-        self.background_thresh = th["background_thresh"]
-        self.tracker_params = TrackingParams(
-            background_thresh=float(th["background_thresh"]),
-            weight_add=1.0 if headers.model == "lepton3.5" else 0.1,
-            external_background=True,
-            emit_filtered=True,
-            # CPU streaming: the in-scan median search is too slow per frame
-            # on one core, so fetch the mask and compute thumb stats on host
-            emit_mask=True,
-            thumb_stats=False,
-            res_x=headers.res_x,
-            res_y=headers.res_y,
-        )
-        self.tracker = StreamingTracker(self.tracker_params, fps=headers.fps)
+        if self.type == "IR":
+            import dataclasses
+
+            from classifier_pipeline_tpu.pipeline.ir_extractor import ir_params
+            from classifier_pipeline_tpu.pipeline.streamtracker import (
+                IRStreamingTracker,
+            )
+
+            self.tracker_params = dataclasses.replace(
+                ir_params(scale=0.25),
+                res_x=headers.res_x, res_y=headers.res_y,
+            )
+            self.background_thresh = self.tracker_params.background_thresh
+            self.tracker = IRStreamingTracker(
+                self.tracker_params, fps=headers.fps
+            )
+        else:
+            th = threshold_for_model(headers.model)
+            self.background_thresh = th["background_thresh"]
+            self.tracker_params = TrackingParams(
+                background_thresh=float(th["background_thresh"]),
+                weight_add=1.0 if headers.model == "lepton3.5" else 0.1,
+                external_background=True,
+                emit_filtered=True,
+                # CPU streaming: the in-scan median search is too slow per
+                # frame on one core, so fetch the mask and compute thumb
+                # stats on host
+                emit_mask=True,
+                thumb_stats=False,
+                res_x=headers.res_x,
+                res_y=headers.res_y,
+            )
+            self.tracker = StreamingTracker(self.tracker_params, fps=headers.fps)
         # compile the streaming step now, before any frame arrives (the
         # reference similarly front-loads model loading before the camera
         # handshake)
@@ -216,19 +250,38 @@ class PiClassifier:
         for f in preview_frames:
             self._track_frame(f, received_at)
 
+    @staticmethod
+    def _gray(pix):
+        pix = np.asarray(pix)
+        if pix.ndim == 3:
+            pix = pix.mean(axis=2).astype(np.uint8)
+        return pix
+
     def _track_frame(self, frame, received_at):
-        bg = self.motion_detector.background
-        num, den = self._bg_rational()
-        new_tracks, rows = self.tracker.process_frame(
-            frame.pix, bg, num, den, self._ffc(frame)
-        )
+        if self.type == "IR":
+            gray = self._gray(frame.pix)
+            # per-frame foreground probe (learning_rate=0: state untouched)
+            mask = self.motion_detector._background.compute_filtered(gray)
+            new_tracks, rows = self.tracker.process_frame(gray, mask)
+            t_idx = self.tracker.current_frame
+            self._ring.append(
+                (t_idx, gray.astype(np.uint16),
+                 np.asarray(mask, np.float32))
+            )
+        else:
+            bg = self.motion_detector.background
+            num, den = self._bg_rational()
+            new_tracks, rows = self.tracker.process_frame(
+                frame.pix, bg, num, den, self._ffc(frame)
+            )
+            t_idx = self.tracker.current_frame
+            self._ring.append(
+                (t_idx, np.asarray(frame.pix, np.uint16),
+                 np.asarray(rows.filtered))
+            )
+            self._update_thumbnails(frame, rows, t_idx)
         for t in new_tracks:
             t.received_at = received_at
-        t_idx = self.tracker.current_frame
-        self._ring.append(
-            (t_idx, np.asarray(frame.pix, np.uint16), np.asarray(rows.filtered))
-        )
-        self._update_thumbnails(frame, rows, t_idx)
         return new_tracks
 
     def _update_thumbnails(self, frame, rows, t_idx):

@@ -242,6 +242,108 @@ def _record_worker(q, filename, header, background_frame):
     logging.info("Recorder %s written %s frames", filename, frames)
 
 
+class IRRecorder(Recorder):
+    """IR camera mp4 recorder (reference irrecorder.py): background frame
+    (grey replicated to 3 channels) then preview frames then live frames
+    through an MPEG writer on its own thread, mirroring the reference's
+    record subprocess."""
+
+    VIDEO_EXT = ".mp4"
+
+    def __init__(self, thermal_config, headers, name="IRRecorder", **args):
+        super().__init__(thermal_config, headers, name, self.VIDEO_EXT, **args)
+        self._q = None
+        self._thread = None
+        self.fps = headers.fps
+
+    @staticmethod
+    def _rgb(frame):
+        pix = frame.pix if hasattr(frame, "pix") else frame
+        pix = np.asarray(pix)
+        if pix.ndim == 2:
+            pix = np.repeat(pix[:, :, None], 3, axis=2)
+        else:
+            pix = pix[:, :, ::-1]  # camera frames are BGR
+        return np.ascontiguousarray(pix, np.uint8)
+
+    def new_recording(self, background_frame, preview_frames, temp_thresh,
+                      frame_time):
+        self.frames = 0
+        if not self.can_record(frame_time):
+            return False
+        self._q = queue.Queue()
+        self._thread = threading.Thread(
+            target=_ir_record_worker,
+            args=(self._q, self.filename, self.fps),
+            daemon=True,
+        )
+        self._thread.start()
+        if background_frame is not None and np.ndim(background_frame) == 2:
+            self.write_frame(background_frame)
+        for f in preview_frames or []:
+            self.write_frame(f)
+        return True
+
+    def write_frame(self, frame):
+        self._q.put(self._rgb(frame))
+        self.frames += 1
+
+    def _finish_writer(self):
+        if self._thread is not None:
+            self._q.put(None)
+            self._thread.join()
+            self._thread = None
+
+    def final_name(self):
+        out = self.output_dir / self.filename.name
+        # no-ffmpeg environments fall back to an animated GIF
+        if not self.filename.exists() and self.filename.with_suffix(
+                ".gif").exists():
+            self.filename = self.filename.with_suffix(".gif")
+            out = out.with_suffix(".gif")
+        return out
+
+    def stop_recording(self, frame_time):
+        # close the writer BEFORE resolving the final name: the gif
+        # fallback only materializes at close
+        self.recording = False
+        self._finish_writer()
+        final_name = self.final_name()
+        self.write_until = 0
+        if self.on_recording_stopping is not None:
+            self.on_recording_stopping(final_name)
+        self.filename.rename(final_name)
+        logging.info("%s recording %s ended, %s frames", self.name,
+                     final_name, self.frames)
+
+    def delete_recording(self):
+        if self.recording:
+            self._finish_writer()
+            self.recording = False
+        name = self.final_name()  # resolves the gif fallback
+        if self.filename and self.filename.exists():
+            self.filename.unlink()
+
+
+def _ir_record_worker(q, filename, fps):
+    from classifier_pipeline_tpu.io.mpeg_creator import MPEGCreator
+
+    frames = 0
+    try:
+        writer = MPEGCreator(filename, fps=fps)
+        while True:
+            rgb = q.get()
+            if rgb is None:
+                break
+            writer.next_frame(rgb)
+            frames += 1
+        writer.close()
+    except Exception as ex:  # pragma: no cover
+        logging.error("Error recording %s", filename, exc_info=True)
+        log_event("error-recording", str(ex))
+    logging.info("IR recorder %s written %s frames", filename, frames)
+
+
 class DummyRecorder(Recorder):
     """No-op recorder for tests/replay (reference dummyrecorder.py)."""
 

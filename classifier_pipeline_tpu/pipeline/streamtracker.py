@@ -26,6 +26,12 @@ def _stream_step(params, carry, thermal, bg, avg_num, avg_den, ffc):
     return step(carry, (thermal, bg, avg_num, avg_den, ffc))
 
 
+@functools.partial(jax.jit, static_argnames=("params",))
+def _ir_stream_step(params, carry, gray, fg_mask, ffc):
+    step = tracker_jax.make_scan_step(params)
+    return step(carry, (gray, fg_mask, ffc))
+
+
 class StreamTrack(AssembledTrack):
     """Live track with incremental bounds; provides the attributes the
     cascade uses (last_bound, received_at)."""
@@ -147,3 +153,52 @@ class StreamingTracker:
 
     def all_tracks(self):
         return list(self.tracks.values())
+
+
+class IRStreamingTracker(StreamingTracker):
+    """IR variant: the step consumes (gray, foreground mask, ffc) — the MOG
+    background lives in the motion detector, the mask is its per-frame
+    output (reference IRTrackExtractor streaming via start_tracking,
+    irtrackextractor.py; mask downscale mirrors scale=0.25 on the Pi)."""
+
+    def __init__(self, params: TrackingParams, fps: float = 10.0):
+        # bypass the external_background assert: IR keeps bg in the detector
+        assert params.mode == "ir"
+        self.params = params
+        self.fps = fps
+        self.carry = None
+        self.tracks = {}
+        self.active_slots = set()
+        self.current_frame = -1
+        self.frames = []
+
+    def _scaled(self, mask):
+        from classifier_pipeline_tpu.pipeline.ir_extractor import _downscale
+
+        mask = np.asarray(mask, np.int32)
+        return _downscale(mask[None], self.params.detect_scale)[0]
+
+    def warmup(self):
+        H, W = self.params.res_y, self.params.res_x
+        s = self.params.detect_scale
+        Hs, Ws = (int(H * s), int(W * s)) if s != 1.0 else (H, W)
+        carry = tracker_jax.init_carry(self.params, np.zeros((H, W), np.uint16))
+        _, rows = _ir_stream_step(
+            self.params, carry,
+            np.zeros((H, W), np.int32), np.zeros((Hs, Ws), np.int32),
+            np.bool_(False),
+        )
+        tracker_jax.fetch_rows(rows)
+
+    def process_frame(self, pix, fg_mask, ffc=False):
+        self.carry, rows = _ir_stream_step(
+            self.params,
+            self.carry,
+            np.asarray(pix, np.int32),
+            self._scaled(fg_mask),
+            np.bool_(ffc),
+        )
+        rows = tracker_jax.fetch_rows(rows)
+        self.current_frame += 1
+        new_tracks = self._update_tracks(rows)
+        return new_tracks, rows

@@ -288,11 +288,16 @@ def test_pallas_nlmeans_tree_unroll_interpret():
             b = np.asarray(pn.nl_means_denoise_u8_pallas_packed(jnp.asarray(imgs), **kw))
             c = np.asarray(pn.nl_means_denoise_u8_pallas_sym(jnp.asarray(imgs), **kw))
             d = np.asarray(pn.nl_means_denoise_u8_pallas_packed_sym(jnp.asarray(imgs), **kw))
+            # fully-unrolled variant over the SAME TEMPLATE=7 tree box-sum
+            # path (_kernel_sym_full static-slice -o taps)
+            e = np.asarray(pn.nl_means_denoise_u8_pallas_packed_sym(
+                jnp.asarray(imgs), unroll=True, **kw))
     np.testing.assert_array_equal(a, b)
     # symmetric-weights kernels (the production TPU path): the v>=1 loop
     # with the one-hot permutation matmul shift runs here (S=9 -> hs=4)
     np.testing.assert_array_equal(a, c)
     np.testing.assert_array_equal(a, d)
+    np.testing.assert_array_equal(a, e)
     assert np.abs(a - want).max() <= 1
     assert (a != want).mean() < 0.02
 
