@@ -34,6 +34,7 @@ def _strip_times(obj):
     return obj
 
 
+@pytest.mark.slow
 def test_process_batch_matches_process_file(classifier):
     # segment sampling reproduces the reference's module-level np.random
     # quirk (order-dependent draws in the long-track branch), so pin the
@@ -51,6 +52,7 @@ def test_process_batch_matches_process_file(classifier):
             )
 
 
+@pytest.mark.slow
 def test_process_batch_chunked_matches_unchunked(classifier):
     paths = [
         CLIPS / "possum.cptv",
@@ -136,6 +138,7 @@ def test_classify_no_track_reuses_sidecar(classifier, tmp_path):
     assert all(t["predictions"] for t in meta2["tracks"])
 
 
+@pytest.mark.slow
 def test_batch_reencode_fallback_matches_decoder_deltas(tmp_path):
     """Clips without decoder delta streams (python-decoded, fancy-indexed
     backgrounds) fall back to the C re-encoder; tracking output must be

@@ -25,6 +25,7 @@ def _thumbs(monkeypatch, host):
     return out
 
 
+@pytest.mark.slow
 def test_device_thumbnails_match_host_masks(monkeypatch):
     dev = _thumbs(monkeypatch, host=False)
     host = _thumbs(monkeypatch, host=True)

@@ -101,6 +101,7 @@ def test_minted_possum_equals_shipped_golden(possum_meta):
     assert minted["background_thresh"] == possum_meta["background_thresh"]
 
 
+@pytest.mark.slow
 def test_sharded_batch_matches_single_device(possum_cptv):
     """Fleet-scale extraction: the data-sharded SPMD scan over an 8-device
     mesh produces the same rows as the single-device batch path."""
@@ -146,6 +147,7 @@ def test_sharded_batch_matches_single_device(possum_cptv):
         )
 
 
+@pytest.mark.slow
 def test_sharded_classify_matches_single_device(possum_cptv, tmp_path_factory):
     """SPMD classification: resharding a scan group's device arrays over the
     data axis and running the SAME fused classify jit yields identical

@@ -48,6 +48,7 @@ def _count_and_shape(mod, hw, ch=3):
 
 
 @pytest.mark.parametrize("name,keras_name,hw,extra", KERAS_CASES)
+@pytest.mark.oracle
 def test_backbone_matches_keras(name, keras_name, hw, extra):
     tf = pytest.importorskip("tensorflow")
     keras_model = getattr(tf.keras.applications, keras_name)(
@@ -60,6 +61,7 @@ def test_backbone_matches_keras(name, keras_name, hw, extra):
     assert got_params + extra == want_params
 
 
+@pytest.mark.slow
 def test_build_classifier_all_backbones_forward():
     """Every zoo entry builds through the reference head and runs a forward
     pass on the pipeline's real input shape (160x160 5x5-tiled segments)."""
