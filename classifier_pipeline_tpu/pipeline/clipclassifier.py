@@ -177,10 +177,21 @@ class ClipClassifier:
         # split into near-equal chunks, preserving order
         bounds = np.linspace(0, len(paths), chunks + 1).astype(int)
         groups = [paths[a:b] for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
-        # dispatch every chunk's upload + scan before any blocking fetch.
-        # (Dispatching from a background thread was measured SLOWER on the
-        # single-core host: the decode steals the core from assembly.)
-        handles = [extractor.scan_batch(g) for g in groups]
+        # decode+dispatch runs on ONE pipeline worker so later chunks'
+        # decode (C inflate, GIL released) fills the main thread's blocking
+        # tunnel waits (scan/classify fetches, ~2s/batch measured). An
+        # earlier design dispatched everything up front on the main thread;
+        # the re-measure with prefetch + delta uploads shows waits dominate
+        # the tail, and staging reuse is serialized by the dispatch lock.
+        pipe = None
+        if os.environ.get("BATCH_DECODE_THREAD", "1") != "0" and len(groups) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            pipe = ThreadPoolExecutor(max_workers=1)
+            futures = [pipe.submit(extractor.scan_batch, g) for g in groups]
+            handle_seq = (f.result() for f in futures)
+        else:
+            handle_seq = iter([extractor.scan_batch(g) for g in groups])
 
         # Phase B: per chunk — block on its (prefetched) scan, assemble
         # tracks on host, DISPATCH its classify; the classify outputs start
@@ -192,7 +203,7 @@ class ClipClassifier:
         # retained per chunk — holding whole ExtractResults would keep every
         # chunk's pixel blocks and device groups alive until return.
         chunk_results = []
-        for handle in handles:
+        for handle in handle_seq:
             results = extractor.collect_batch(handle)
             ctxs = []
             for res in results:
@@ -226,6 +237,8 @@ class ClipClassifier:
             del results, ctxs  # release pixels/rows/groups with the chunk
 
         # Phase C: collect predictions and merge metadata per chunk
+        if pipe is not None:
+            pipe.shutdown(wait=False)  # all futures already consumed
         metas = []
         for chunk_metas, chunk_track_ids, pred_handles in chunk_results:
             with extractor._stage("classify-wait"):

@@ -1112,6 +1112,12 @@ def _pad_clip_batch(thermals, ffcs, params, backgrounds=None, bucket=32):
 
 _STAGING_POOL: dict = {}
 
+import threading
+
+# serializes pad+enqueue so the pooled staging buffers are never written by
+# one dispatch while another's device_put copy is still reading them
+_DISPATCH_LOCK = threading.Lock()
+
 
 def _staging_buffer(name, shape, dtype):
     """Reusable host staging array (fully overwritten by the caller).
@@ -1295,35 +1301,41 @@ def track_clips_batch_dispatch(
     HW = params.res_y * params.res_x
     delta_upload = os.environ.get("CPTPU_DELTA_UPLOAD", "1") != "0"
     enc = None
-    if (
-        delta_upload
-        and T >= 2
-        and deltas is not None
-        and all(d is not None for d in deltas)
-        and len(thermals) * (T - 1) * HW < 2**31
-        # pathological corpora (scene cuts, sensor glitches) can carry huge
-        # exception lists; past the same cap the re-encoder uses, raw or
-        # re-encoded upload is cheaper than resid + 8-byte/entry exceptions
-        and sum(len(d[2]) for d in deltas) <= (1 << 20)
-    ):
-        enc, ffc_pad, carry0 = _pad_clip_batch_delta(
-            thermals, ffcs, params, backgrounds, bucket, deltas
-        )
-    else:
-        th, ffc_pad, carry0 = _pad_clip_batch(
-            thermals, ffcs, params, backgrounds, bucket
-        )
-        if T >= 2 and delta_upload:
-            # halve the host->device bytes: int8 delta stream + exceptions,
-            # encoded by the native codec (a pure-numpy pass over ~100MB
-            # costs tens of seconds on weak hosts; the C encoder streams it)
-            from classifier_pipeline_tpu.cptv.codec import delta_encode_u16
+    # the staging-buffer pool (_STAGING_POOL) is shared; pad + the enqueue
+    # copy (jnp.asarray) must finish before another thread may reuse the
+    # buffers — dispatch can run on a background pipeline thread
+    with _DISPATCH_LOCK:
+        if (
+            delta_upload
+            and T >= 2
+            and deltas is not None
+            and all(d is not None for d in deltas)
+            and len(thermals) * (T - 1) * HW < 2**31
+            # pathological corpora (scene cuts, sensor glitches) can carry
+            # huge exception lists; past the same cap the re-encoder uses,
+            # raw or re-encoded upload is cheaper than resid + 8-byte/entry
+            # exceptions
+            and sum(len(d[2]) for d in deltas) <= (1 << 20)
+        ):
+            enc, ffc_pad, carry0 = _pad_clip_batch_delta(
+                thermals, ffcs, params, backgrounds, bucket, deltas
+            )
+        else:
+            th, ffc_pad, carry0 = _pad_clip_batch(
+                thermals, ffcs, params, backgrounds, bucket
+            )
+            if T >= 2 and delta_upload:
+                # halve the host->device bytes: int8 delta stream +
+                # exceptions, encoded by the native codec (a pure-numpy pass
+                # over ~100MB costs tens of seconds on weak hosts; the C
+                # encoder streams it)
+                from classifier_pipeline_tpu.cptv.codec import delta_encode_u16
 
-            enc = delta_encode_u16(th)
-    if enc is not None:
-        th_dev = _decode_delta_u16(*(jnp.asarray(a) for a in enc))
-    else:
-        th_dev = jnp.asarray(th)  # keep: classification reuses it on device
+                enc = delta_encode_u16(th)
+        if enc is not None:
+            th_dev = _decode_delta_u16(*(jnp.asarray(a) for a in enc))
+        else:
+            th_dev = jnp.asarray(th)  # classification reuses it on device
     carry, rows = _track_scan_batch(params, carry0, th_dev, ffc_pad)
     # pack on device now (dispatch only); the blocking fetch happens in
     # collect
