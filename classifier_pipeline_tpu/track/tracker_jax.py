@@ -1111,6 +1111,26 @@ def _pad_clip_batch(thermals, ffcs, params, backgrounds=None, bucket=32):
 
 
 _STAGING_POOL: dict = {}
+_PUT_COPIES: bool | None = None
+
+
+def _device_put_copies() -> bool:
+    """One-time probe: does device_put copy the host buffer on enqueue?
+    True -> staging buffers may be reused immediately after jnp.asarray.
+    False (e.g. XLA:CPU zero-copy aliasing) -> never pool."""
+    global _PUT_COPIES
+    if _PUT_COPIES is None:
+        try:
+            probe = np.arange(4096, dtype=np.int32)
+            dev = jnp.asarray(probe)
+            probe[:] = -1
+            _PUT_COPIES = bool(
+                (np.asarray(dev[:16]) == np.arange(16)).all()
+            )
+        except Exception:  # pragma: no cover - no backend at all
+            _PUT_COPIES = False
+    return _PUT_COPIES
+
 
 import threading
 
@@ -1124,17 +1144,13 @@ def _staging_buffer(name, shape, dtype):
     Keyed by shape so alternating bucket sizes in one batch (mixed-length
     corpora) each keep their own buffer instead of thrashing.
 
-    Pooling is gated to the axon backend, where device_put verifiably
-    COPIES on enqueue (mutating the numpy buffer immediately after
-    jnp.asarray leaves the device value intact). XLA:CPU zero-copy
-    ALIASES aligned numpy buffers, and plain PJRT TPU may hold the host
-    buffer until the DMA completes (ImmutableUntilTransferCompletes) —
-    both get a fresh allocation."""
-    try:
-        platform = jax.devices()[0].platform.lower()
-    except RuntimeError:  # pragma: no cover
-        platform = ""
-    if platform != "axon":
+    Pooling is gated by a RUNTIME probe (not a platform-name check — the
+    remote-TPU backend has been observed under both "axon" and "tpu"
+    names): pool only where device_put verifiably COPIES on enqueue
+    (mutating the numpy buffer immediately after jnp.asarray leaves the
+    device value intact). XLA:CPU zero-copy ALIASES aligned numpy buffers
+    and fails the probe — it gets fresh allocations."""
+    if not _device_put_copies():
         return np.empty(shape, dtype)
     key = (name, shape, np.dtype(dtype).str)
     buf = _STAGING_POOL.get(key)
