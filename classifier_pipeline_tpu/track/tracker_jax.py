@@ -1169,38 +1169,89 @@ def _pad_clip_batch_delta(thermals, ffcs, params, backgrounds, bucket, deltas):
     already emitted int8 residuals (+ exceptions) while its per-frame deltas
     were cache-hot. Padding frames replicate each clip's last frame, whose
     delta rows are exactly zero, so resid/shift stay zero-initialized there
-    (same semantics as _pad_clip_batch's replica padding)."""
+    (same semantics as _pad_clip_batch's replica padding).
+
+    The five sections (first frames, per-frame shifts, exception idx/val,
+    residuals) are written into ONE pooled uint8 buffer and ride ONE
+    device_put: the tunnel charges latency per transfer, and latency-heavy
+    sessions have been measured at 0.2-3 s/transfer. Layout (host little-
+    endian == device bitcast order, the inverse of _fuse_fetch): int32
+    sections first (4-byte aligned at offset 0), int8 residuals last.
+    Device-side split is _split_delta_fused."""
     B = len(thermals)
     T, ffc_pad, carry0 = _pad_common(thermals, ffcs, params, backgrounds,
                                      bucket)
     H, W = params.res_y, params.res_x
     HW = H * W
-    # pooled staging buffers: a fresh np.empty of ~140MB pays kernel
-    # page-zeroing on every chunk; device_put copies on enqueue (verified
-    # on the axon backend), so reuse after dispatch is safe. Keyed by
-    # shape — same-shape chunks (the common bucketed case) reuse.
-    first = _staging_buffer("first", (B, H, W), np.int32)
-    resid = _staging_buffer("resid", (B, T - 1, H, W), np.int8)
-    shift = np.zeros((B, T - 1), np.int32)
     exc_i, exc_v = [], []
     for b, thermal in enumerate(thermals):
-        t = thermal.shape[0]
-        r, s, ei, ev = deltas[b]
-        first[b] = thermal[0]
-        resid[b, : t - 1] = r.reshape(t - 1, H, W)
-        resid[b, t - 1 :] = 0  # replica padding: delta exactly zero
-        shift[b, : t - 1] = s
+        _, _, ei, ev = deltas[b]
         if len(ei):
             exc_i.append(ei.astype(np.int32) + np.int32(b * (T - 1) * HW))
             exc_v.append(ev)
     n_exc = sum(len(e) for e in exc_i)
     K = _round_up(max(n_exc, 1), 4096)
-    idx_p = np.zeros(K, np.int32)
-    val_p = np.zeros(K, np.int32)
+
+    # pooled staging buffer: a fresh np.empty of ~60MB pays kernel
+    # page-zeroing on every chunk; device_put copies on enqueue (probed —
+    # see _device_put_copies), so reuse after dispatch is safe. Keyed by
+    # shape — same-shape chunks (the common bucketed case) reuse.
+    n_first = B * HW
+    n_shift = B * (T - 1)
+    total = 4 * (n_first + n_shift + 2 * K) + B * (T - 1) * HW
+    buf = _staging_buffer("delta_fused", (total,), np.uint8)
+    off = 0
+
+    def i32_view(n, shape):
+        nonlocal off
+        v = buf[off : off + 4 * n].view(np.int32).reshape(shape)
+        off += 4 * n
+        return v
+
+    first = i32_view(n_first, (B, H, W))
+    shift = i32_view(n_shift, (B, T - 1))
+    idx_p = i32_view(K, (K,))
+    val_p = i32_view(K, (K,))
+    resid = buf[off:].view(np.int8).reshape(B, T - 1, H, W)
+
+    for b, thermal in enumerate(thermals):
+        t = thermal.shape[0]
+        r, s, _, _ = deltas[b]
+        first[b] = thermal[0]
+        resid[b, : t - 1] = r.reshape(t - 1, H, W)
+        resid[b, t - 1 :] = 0  # replica padding: delta exactly zero
+        shift[b, : t - 1] = s
+        shift[b, t - 1 :] = 0
+    # exception tail: idx 0 / val 0 adds zero at flat index 0 — inert
+    idx_p[n_exc:] = 0
+    val_p[n_exc:] = 0
     if n_exc:
         idx_p[:n_exc] = np.concatenate(exc_i)
         val_p[:n_exc] = np.concatenate(exc_v)
-    return (first, resid, shift, idx_p, val_p), ffc_pad, carry0
+    return (buf, (B, T, H, W, K)), ffc_pad, carry0
+
+
+@functools.partial(jax.jit, static_argnames=("B", "T", "H", "W", "K"))
+def _split_delta_fused(buf_u8, B, T, H, W, K):
+    """Device-side inverse of _pad_clip_batch_delta's packing + delta decode
+    -> (B, T, H, W) u16. One fused program: slice + bitcast + cumsum."""
+    off = 0
+
+    def take_i32(n, shape):
+        nonlocal off
+        s = jax.lax.slice(buf_u8, (off,), (off + 4 * n,)).reshape(n, 4)
+        off += 4 * n
+        return jax.lax.bitcast_convert_type(s, jnp.int32).reshape(shape)
+
+    first = take_i32(B * H * W, (B, H, W))
+    shift = take_i32(B * (T - 1), (B, T - 1))
+    idx_p = take_i32(K, (K,))
+    val_p = take_i32(K, (K,))
+    resid = jax.lax.slice(
+        buf_u8, (off,), (off + B * (T - 1) * H * W,)
+    ).reshape(B, T - 1, H, W)
+    resid = jax.lax.bitcast_convert_type(resid, jnp.int8)
+    return _decode_delta_u16(first, resid, shift, idx_p, val_p)
 
 
 import concurrent.futures
@@ -1348,7 +1399,12 @@ def track_clips_batch_dispatch(
                 from classifier_pipeline_tpu.cptv.codec import delta_encode_u16
 
                 enc = delta_encode_u16(th)
-        if enc is not None:
+        if enc is not None and len(enc) == 2 and isinstance(enc[1], tuple):
+            # fused single-buffer upload from the decoder-delta path
+            buf, (eB, eT, eH, eW, eK) = enc
+            th_dev = _split_delta_fused(jnp.asarray(buf), B=eB, T=eT,
+                                        H=eH, W=eW, K=eK)
+        elif enc is not None:
             th_dev = _decode_delta_u16(*(jnp.asarray(a) for a in enc))
         else:
             th_dev = jnp.asarray(th)  # classification reuses it on device

@@ -167,6 +167,53 @@ def test_delta_upload_codec_bit_exact():
     np.testing.assert_array_equal(dec2, th)
 
 
+def test_fused_delta_upload_bit_exact():
+    """The single-buffer fused upload (one device_put for first/shift/
+    exceptions/residuals, split + bitcast on device) reconstructs the batch
+    bit-exactly, including ragged lengths and the replica padding tail."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from classifier_pipeline_tpu.pipeline.extractor import ClipTrackExtractor
+    from classifier_pipeline_tpu.cptv.codec import delta_encode_u16
+    from classifier_pipeline_tpu.track import tracker_jax
+    from classifier_pipeline_tpu.track.tracker_jax import TrackingParams
+
+    rng = np.random.default_rng(1)
+    H, W = 24, 32
+    lens = [40, 33, 7]
+    thermals = []
+    deltas = []
+    for i, t in enumerate(lens):
+        th = 3000 + rng.normal(0, 5, (t, H, W)).cumsum(axis=0)
+        th = np.clip(th, 0, 65535).astype(np.uint16)
+        if i == 0:
+            th[20:] += 700  # global shift
+            th[5, 2, 3] += 4000  # outlier exception
+        thermals.append(th)
+        first, resid, shift, ei, ev = (None,) * 5
+        enc = delta_encode_u16(th[None])
+        assert enc is not None
+        _, resid, shift, ei, ev = enc
+        deltas.append((np.asarray(resid).reshape(t - 1, H * W),
+                       np.asarray(shift).reshape(-1),
+                       np.asarray(ei).reshape(-1), np.asarray(ev).reshape(-1)))
+    params = TrackingParams(res_x=W, res_y=H)
+    ffcs = [np.zeros(t, bool) for t in lens]
+    bgs = [th[0] for th in thermals]
+    (buf, (B, T, Hh, Ww, K)), _, _ = tracker_jax._pad_clip_batch_delta(
+        thermals, ffcs, params, bgs, 8, deltas
+    )
+    dec = np.asarray(tracker_jax._split_delta_fused(
+        jnp.asarray(buf), B=B, T=T, H=Hh, W=Ww, K=K))
+    for b, th in enumerate(thermals):
+        np.testing.assert_array_equal(dec[b, : len(th)], th)
+        # replica padding: every pad frame equals the clip's last frame
+        np.testing.assert_array_equal(
+            dec[b, len(th):], np.broadcast_to(th[-1], (T - len(th), H, W))
+        )
+
+
 def test_native_nlmeans_vs_cv2_oracle():
     """Native C NL-means (the CPU streaming path) against the cv2 reference,
     including the low-contrast regimes where float implementations can drift:
