@@ -224,3 +224,16 @@ def test_sharded_classify_matches_single_device(possum_cptv, tmp_path_factory):
                 np.asarray(a, np.float64), np.asarray(b, np.float64),
                 atol=1e-4,
             )
+
+
+def test_hedgehog_lepton35_track_parity():
+    """No-background bootstrap x lepton3.5 cross: rolling background under
+    weight_add=1.0 with the lepton3.5 threshold tables. Golden minted from
+    the reference over the re-telemetried hedgehog."""
+    gold = json.loads((GOLDENS / "hedgehog_l35.txt").read_text())
+    res = extract_file(FIXTURES / "hedgehog_l35.cptv")
+    m = res.metadata
+    assert m["camera_model"] == gold["camera_model"] == "lepton3.5"
+    assert m["background_thresh"] == gold["background_thresh"] == 50
+    assert len(gold["tracks"]) == 1
+    assert_tracks_match(m["tracks"], gold["tracks"], mass_tol=1)

@@ -145,6 +145,14 @@ def main():
             make_lepton35_fixture(REF / "tests/clips/possum.cptv", l35)
         meta = mint(l35, td)
         (outdir / "possum_l35.txt").write_text(json.dumps(meta, indent=1))
+
+        # 4. no-background x lepton3.5 cross (rolling-background bootstrap
+        # under weight_add=1.0)
+        hl35 = fixdir / "hedgehog_l35.cptv"
+        if not hl35.exists():
+            make_lepton35_fixture(REF / "tests/clips/hedgehog.cptv", hl35)
+        meta = mint(hl35, td)
+        (outdir / "hedgehog_l35.txt").write_text(json.dumps(meta, indent=1))
     print("goldens written to", outdir)
 
 
