@@ -151,7 +151,6 @@ def ir_camera(args, config, thermal_config):
     logging.info("IR camera connected %dx%d", res_x, res_y)
 
     process_queue: queue.Queue = queue.Queue()
-    pi_holder = {}
 
     def classifier_loop():
         pi = PiClassifier(
@@ -159,7 +158,6 @@ def ir_camera(args, config, thermal_config):
             classify=thermal_config.motion.run_classifier,
             seed=args.seed,
         )
-        pi_holder["pi"] = pi
         while True:
             item = process_queue.get()
             if item is None:
@@ -175,7 +173,6 @@ def ir_camera(args, config, thermal_config):
                     classify=thermal_config.motion.run_classifier,
                     seed=args.seed,
                 )
-                pi_holder["pi"] = pi
         pi.disconnected()
 
     worker = threading.Thread(target=classifier_loop, daemon=True)

@@ -330,21 +330,25 @@ def dump_split_ids(datasets, out_file):
         json.dump(doc, f)
 
 
-def validate_datasets(datasets, test_bins=None, after_date=None):
+def validate_datasets(datasets, test_clips=None, after_date=None):
     """Split hygiene asserts (reference build.py validate_datasets,
-    :526-560): a bin appears in at most one split, and test-forced bins
-    appear only in the test split. Bins recorded after `after_date`
-    legitimately exist only in test and are excluded from the overlap
-    check against it."""
-    test_bins = set(test_bins) if test_bins else None
+    :526-560): a bin appears in at most one split, and test-forced CLIPS
+    appear only in the test split (compared by sample.clip_id — bin ids are
+    "clip-track" strings, so a bin-level intersection against clip ids can
+    never fire). Bins recorded after `after_date` legitimately exist only
+    in test and are excluded from the overlap check against it."""
+    test_clips = {int(c) for c in test_clips} if test_clips else None
     bin_sets = []
     for d in datasets:
         bins = {s.bin_id for s in d.samples_by_id.values()}
         bin_sets.append(bins)
-        if test_bins and d.name != "test":
-            overlap = bins & test_bins
-            assert not overlap, (
-                f"test bins leaked into {d.name}: {sorted(overlap)[:5]}")
+        if test_clips and d.name != "test":
+            leaked = {
+                s.clip_id for s in d.samples_by_id.values()
+                if int(s.clip_id) in test_clips
+            }
+            assert not leaked, (
+                f"test clips leaked into {d.name}: {sorted(leaked)[:5]}")
     for i, d in enumerate(datasets[:2]):
         if not bin_sets[i]:
             continue

@@ -196,6 +196,9 @@ def hist_diff(back_crop, thermal_crop, normalize=True):
     a = np.float32(back_crop)
     b = np.float32(thermal_crop)
     if normalize:
+        # FLAT crops (max == min) normalize to all-NaN in the reference;
+        # cv2.calcHist bins those NaNs exactly like 0.0 (verified against
+        # the cv2 oracle in tests — NOT skipped), which nan_to_num matches.
         with np.errstate(divide="ignore", invalid="ignore"):
             a = (a - a.min()) / (a.max() - a.min()) * 255.0
             b = (b - b.min()) / (b.max() - b.min()) * 255.0
@@ -249,19 +252,25 @@ def _nonzero_stats(buf):
 
 
 class _FrameRecord:
-    """Speed buffers + centroid for one valid frame of a track."""
+    """Speed buffers + centroid for one valid frame of a track.
+
+    Buffers are always 5 deep regardless of the configured buffer_length —
+    the reference's FrameFeatures allocates buff_len=5 unconditionally
+    (forestmodel.py:521-535), so _movement_vector's [2]/[4] lag reads see
+    zeros, not an IndexError, when fewer lags are filled."""
 
     __slots__ = ("cent", "speed", "speed_x", "speed_y",
                  "rel_speed", "rel_speed_x", "rel_speed_y")
 
     def __init__(self, cent, buf_len):
+        n = max(buf_len, 5)
         self.cent = cent
-        self.speed = np.zeros(buf_len)
-        self.speed_x = np.zeros(buf_len)
-        self.speed_y = np.zeros(buf_len)
-        self.rel_speed = np.zeros(buf_len)
-        self.rel_speed_x = np.zeros(buf_len)
-        self.rel_speed_y = np.zeros(buf_len)
+        self.speed = np.zeros(n)
+        self.speed_x = np.zeros(n)
+        self.speed_y = np.zeros(n)
+        self.rel_speed = np.zeros(n)
+        self.rel_speed_x = np.zeros(n)
+        self.rel_speed_y = np.zeros(n)
 
 
 def _movement_vector(base11, rec, hdiff):
@@ -408,7 +417,9 @@ def forest_features(thermal, filtered, background, regions, buf_len=1,
         return np.array(per_frame11), frames_used, masses
 
     f_count = len(movement)
-    if f_count < buf_len:
+    # strictly MORE frames than the deepest lag (5): at f_count == buf_len
+    # the move_5 columns' divisor n = f_count - 5 hits 0 and avg/std go NaN
+    if f_count <= buf_len:
         return None, None, None
     mv = np.array(movement)
     n = f_count - _LAG

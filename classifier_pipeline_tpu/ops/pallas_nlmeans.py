@@ -285,6 +285,12 @@ def _kernel_sym_full(shifts_ref, out_ref, *, H, W, nimg, TEMPLATE=TEMPLATE,
     g.finalize(nums, dens, out_ref)
 
 
+def _unroll_fits(W, nimg=2, TEMPLATE=TEMPLATE, SEARCH=SEARCH):
+    """Whether the fully-unrolled kernel's packed width fits the v5e VMEM
+    budget (it sits at ~112 MiB of 128 MiB for W=160, nimg=2)."""
+    return nimg * (W + 2 * (SEARCH // 2 + TEMPLATE // 2)) <= 2 * 200
+
+
 def _sym_call(img_packed, nimg, H, W, TEMPLATE, SEARCH, unroll=False):
     """img_packed: (G, Hpad, nimg*Wpad) reflect-padded strips -> (G, nimg,
     H, W) denoised."""
@@ -296,17 +302,17 @@ def _sym_call(img_packed, nimg, H, W, TEMPLATE, SEARCH, unroll=False):
     shifts = jnp.stack(
         [img_packed[:, v : v + HG, :] for v in range(hs + 1)], axis=1
     )
-    if unroll:
+    if unroll and not _unroll_fits(W, nimg, TEMPLATE, SEARCH):
         # the unrolled kernel sits AT the VMEM ceiling for the current
         # 160x120 nimg=2 layout (~112 MiB scoped of v5e's 128 MiB); any
         # growth in packed width fails Mosaic's scoped-VMEM check with an
         # opaque budget error, so fail early with a real message instead
-        if nimg * (W + 2 * (SEARCH // 2 + TEMPLATE // 2)) > 2 * 200:
-            raise ValueError(
-                f"unrolled NL-means kernel: packed width nimg={nimg} W={W} "
-                "exceeds the v5e VMEM budget (~112 MiB at 160x120 nimg=2); "
-                "use the fori-loop kernel (unroll=False) for wider layouts"
-            )
+        # (the production batch rule auto-falls back via _unroll_fits)
+        raise ValueError(
+            f"unrolled NL-means kernel: packed width nimg={nimg} W={W} "
+            "exceeds the v5e VMEM budget (~112 MiB at 160x120 nimg=2); "
+            "use the fori-loop kernel (unroll=False) for wider layouts"
+        )
     kernel = functools.partial(
         _kernel_sym_full if unroll else _kernel_sym,
         H=H, W=W, nimg=nimg, TEMPLATE=TEMPLATE, SEARCH=SEARCH,
@@ -439,8 +445,12 @@ def _nl_means_batch_rule(axis_size, in_batched, img):
     # fully-unrolled kernel: A/B on v5e measured 0.153 vs 0.162 ms/img
     # (~6% faster, two rounds of tools/nlm_probe.py; weights bit-identical,
     # accumulation order verified parity-safe). Cold compile is ~1 min
-    # slower but rides the persistent cache.
-    return nl_means_denoise_u8_pallas_packed_sym(img, unroll=True), True
+    # slower but rides the persistent cache. The unrolled program sits at
+    # the VMEM ceiling for the standard 160-wide packed-pair layout; wider
+    # sensors fall back to the fori-loop kernel instead of failing the
+    # Mosaic scoped-VMEM check.
+    unroll = _unroll_fits(int(img.shape[-1]), nimg=2)
+    return nl_means_denoise_u8_pallas_packed_sym(img, unroll=unroll), True
 
 
 def nl_means_denoise_u8_pallas(img_batch: jax.Array, *, TEMPLATE=TEMPLATE,

@@ -1116,17 +1116,27 @@ _PUT_COPIES: bool | None = None
 
 def _device_put_copies() -> bool:
     """One-time probe: does device_put copy the host buffer on enqueue?
-    True -> staging buffers may be reused immediately after jnp.asarray.
-    False (e.g. XLA:CPU zero-copy aliasing) -> never pool."""
+    True -> staging buffers may be reused shortly after jnp.asarray.
+    False (e.g. XLA:CPU zero-copy aliasing) -> never pool.
+
+    The probe uses a 32MB buffer (the scale of the real staging buffers —
+    size-dependent zero-copy thresholds exist in some runtimes) and mutates
+    it immediately after enqueue. A hold-until-DMA-completes backend could
+    in principle pass this race for very fast links; _staging_buffer's
+    double-buffer rotation covers that residual case by making the reuse
+    distance a full chunk pipeline rather than zero."""
     global _PUT_COPIES
     if _PUT_COPIES is None:
         try:
-            probe = np.arange(4096, dtype=np.int32)
+            n = (32 << 20) // 4
+            probe = np.zeros(n, dtype=np.int32)
+            probe[:16] = np.arange(16)
+            probe[-1] = 7
             dev = jnp.asarray(probe)
             probe[:] = -1
-            _PUT_COPIES = bool(
-                (np.asarray(dev[:16]) == np.arange(16)).all()
-            )
+            head = np.asarray(dev[:16])
+            tail = int(np.asarray(dev[-1]))
+            _PUT_COPIES = bool((head == np.arange(16)).all() and tail == 7)
         except Exception:  # pragma: no cover - no backend at all
             _PUT_COPIES = False
     return _PUT_COPIES
@@ -1149,17 +1159,24 @@ def _staging_buffer(name, shape, dtype):
     names): pool only where device_put verifiably COPIES on enqueue
     (mutating the numpy buffer immediately after jnp.asarray leaves the
     device value intact). XLA:CPU zero-copy ALIASES aligned numpy buffers
-    and fails the probe — it gets fresh allocations."""
+    and fails the probe — it gets fresh allocations.
+
+    TWO buffers per key rotate: even if a backend passed the probe while
+    actually holding the host buffer until DMA completion (a race the
+    probe cannot rule out), a buffer is only rewritten after a FULL other
+    chunk has padded, enqueued, and dispatched in between — by which point
+    the prior transfer has long drained."""
     if not _device_put_copies():
         return np.empty(shape, dtype)
     key = (name, shape, np.dtype(dtype).str)
-    buf = _STAGING_POOL.get(key)
-    if buf is None:
+    entry = _STAGING_POOL.get(key)
+    if entry is None:
         if len(_STAGING_POOL) > 16:  # bound retained host memory
             _STAGING_POOL.clear()
-        buf = np.empty(shape, dtype)
-        _STAGING_POOL[key] = buf
-    return buf
+        entry = [np.empty(shape, dtype), np.empty(shape, dtype), 0]
+        _STAGING_POOL[key] = entry
+    entry[2] ^= 1
+    return entry[entry[2]]
 
 
 def _pad_clip_batch_delta(thermals, ffcs, params, backgrounds, bucket, deltas):

@@ -301,6 +301,14 @@ def test_validate_datasets_catches_leak(tagged_corpus, tmp_path):
     with pytest.raises(AssertionError):
         validate_datasets(datasets)
 
+    # test-clip pinning: a train sample whose clip is in test_clips fires
+    # (compared by clip_id — bin ids are clip-track strings)
+    datasets2 = (datasets[0], datasets[1], datasets[2])
+    any_train = next(iter(datasets[0].samples_by_id.values()), None)
+    if any_train is not None:
+        with pytest.raises(AssertionError):
+            validate_datasets(datasets2, test_clips=[any_train.clip_id])
+
 
 def test_label_mapping_matches_reference_oracle(tmp_path, monkeypatch):
     """load_label_mapping regroups the full 534-label taxonomy identically

@@ -277,3 +277,80 @@ def test_forest_model_buffer_length(tmp_path):
     frames, preds, masses = result
     assert preds.shape == (1, 2)
     assert len(frames) == 1
+
+def test_track_feature_vector_short_track_no_nan():
+    """A track with exactly 5 valid frames used to yield 0/0 NaNs in the
+    move_5 avg/std columns (divisor n = f_count - lag = 0); it must return
+    the documented zeros instead."""
+    import numpy as np
+
+    from classifier_pipeline_tpu.models.forest import (
+        MVM_FEATURE_DIM,
+        forest_features,
+        track_feature_vector,
+    )
+
+    rng = np.random.default_rng(0)
+    T, H, W = 6, 32, 40
+    thermal = rng.integers(2000, 3000, (T, H, W)).astype(np.uint16)
+    filtered = rng.normal(0, 10, (T, H, W)).astype(np.float32)
+    background = thermal[0].astype(np.float32)
+
+    class R:
+        def __init__(self, t):
+            self.frame_number = t
+            self.x, self.y, self.width, self.height = 4, 4, 10, 8
+            self.blank = False
+            self.mass = 50
+
+        @property
+        def bottom(self): return self.y + self.height
+
+        @property
+        def right(self): return self.x + self.width
+
+    regions = [R(t) for t in range(5)]
+    X, f, m = forest_features(thermal, filtered, background, regions,
+                              buf_len=5)
+    assert X is None  # too short to aggregate without a zero divisor
+    vec = track_feature_vector(thermal, filtered, background, regions)
+    assert vec.shape == (MVM_FEATURE_DIM,)
+    assert not np.isnan(vec).any()
+    assert (vec == 0).all()
+    # 6 valid frames: aggregation runs, still no NaNs
+    regions6 = [R(t) for t in range(6)]
+    vec6 = track_feature_vector(thermal, filtered, background, regions6)
+    assert not np.isnan(vec6).any()
+
+
+def test_forest_small_buffer_length_no_crash():
+    """buffer_length in 2..4 must read zero lags, not IndexError (reference
+    FrameFeatures always allocates 5-deep speed buffers)."""
+    import numpy as np
+
+    from classifier_pipeline_tpu.models.forest import forest_features
+
+    rng = np.random.default_rng(1)
+    T, H, W = 10, 32, 40
+    thermal = rng.integers(2000, 3000, (T, H, W)).astype(np.uint16)
+    filtered = rng.normal(0, 10, (T, H, W)).astype(np.float32)
+    background = thermal[0].astype(np.float32)
+
+    class R:
+        def __init__(self, t):
+            self.frame_number = t
+            self.x, self.y, self.width, self.height = 4, 4, 10, 8
+            self.blank = False
+            self.mass = 50
+
+        @property
+        def bottom(self): return self.y + self.height
+
+        @property
+        def right(self): return self.x + self.width
+
+    regions = [R(t) for t in range(T)]
+    for bl in (2, 3, 4):
+        X, f, m = forest_features(thermal, filtered, background, regions,
+                                  buf_len=bl)
+        assert X is not None and not np.isnan(X).any()
