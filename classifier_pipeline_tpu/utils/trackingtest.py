@@ -190,3 +190,42 @@ def run_tests(test_file, clip_dir=None, extract_fn=None):
             verdicts.append((expected.tag, score_track(expected, matched)))
         results[rec.filename] = verdicts
     return results
+
+
+def main(argv=None):
+    """CLI: generate a tracking-tests YAML from metadata sidecars, or run
+    one against local clips (reference tests/generatetests.py minus the API
+    download — this environment processes local recordings)."""
+    import argparse
+    import logging
+
+    parser = argparse.ArgumentParser(description="tracking test harness")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    g = sub.add_parser("generate", help="metadata sidecars -> tests YAML")
+    g.add_argument("metadata", nargs="+", help=".txt metadata sidecars")
+    g.add_argument("-o", "--out", default="tracking-tests.yml")
+    r = sub.add_parser("run", help="run a tests YAML against local clips")
+    r.add_argument("tests", help="tracking-tests YAML")
+    r.add_argument("-d", "--clip-dir", default=None)
+    args = parser.parse_args(argv)
+
+    logging.basicConfig(level=logging.INFO)
+    if args.cmd == "generate":
+        out = generate_tests(args.metadata, args.out)
+        logging.info("wrote %s", out)
+        return 0
+    results = run_tests(args.tests, clip_dir=args.clip_dir)
+    worse = 0
+    for fname, verdicts in results.items():
+        for tag, verdict in verdicts:
+            logging.info("%s: %s -> %s", fname, tag, verdict)
+            worse += verdict == "WORSE"
+    logging.info("%d recordings, %d WORSE",
+                 len(results), worse)
+    return 1 if worse else 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())
