@@ -716,13 +716,12 @@ const char* cptv_brand(void* h) { return static_cast<Reader*>(h)->header.brand.c
 const char* cptv_firmware(void* h) { return static_cast<Reader*>(h)->header.firmware.c_str(); }
 const char* cptv_motion_config(void* h) { return static_cast<Reader*>(h)->header.motion_config.c_str(); }
 
-// Copies all frames into caller-provided buffers. pixels: n*W*H u16.
-// meta layout per frame: [time_on_ms u32, last_ffc_ms u32, is_background u32,
-// temp_c f32, last_ffc_temp_c f32] as 5 u32 slots.
-int cptv_read_all(void* h, uint16_t* pixels, uint32_t* meta) {
+// Copies the per-frame metadata into the caller's buffer. meta layout per
+// frame: [time_on_ms u32, last_ffc_ms u32, is_background u32, temp_c f32,
+// last_ffc_temp_c f32] as 5 u32 slots.
+int cptv_read_meta(void* h, uint32_t* meta) {
   auto* r = static_cast<Reader*>(h);
   if (!r->error.empty()) return -1;
-  memcpy(pixels, r->pixels.data(), r->pixels.size() * sizeof(uint16_t));
   for (int i = 0; i < r->n_frames; i++) {
     const FrameMeta& m = r->metas[i];
     meta[i * 5 + 0] = m.time_on_ms;
@@ -732,6 +731,38 @@ int cptv_read_all(void* h, uint16_t* pixels, uint32_t* meta) {
     memcpy(&meta[i * 5 + 4], &m.last_ffc_temp_c, 4);
   }
   return r->n_frames;
+}
+
+// Copies all frames into caller-provided buffers. pixels: n*W*H u16.
+// (Compatibility path; the Python wrapper normally uses the zero-copy
+// pointer accessors below and keeps the handle alive instead.)
+int cptv_read_all(void* h, uint16_t* pixels, uint32_t* meta) {
+  auto* r = static_cast<Reader*>(h);
+  if (!r->error.empty()) return -1;
+  memcpy(pixels, r->pixels.data(), r->pixels.size() * sizeof(uint16_t));
+  return cptv_read_meta(h, meta);
+}
+
+// Zero-copy accessors: pointers into the Reader's own decode buffers, valid
+// until cptv_close. The Python wrapper wraps these as numpy arrays whose
+// base object owns the handle — decode then costs no output memcpy at all
+// (the read_all + read_delta copies were ~22MB/clip of pure memory traffic
+// plus fresh-numpy page faults on a one-core host).
+const uint16_t* cptv_pixels_ptr(void* h) {
+  auto* r = static_cast<Reader*>(h);
+  return r->error.empty() ? r->pixels.data() : nullptr;
+}
+const int8_t* cptv_resid_ptr(void* h) {
+  return static_cast<Reader*>(h)->resid.data();
+}
+const int32_t* cptv_shift_ptr(void* h) {
+  return static_cast<Reader*>(h)->shift.data();
+}
+const int32_t* cptv_exc_idx_ptr(void* h) {
+  return static_cast<Reader*>(h)->exc_idx.data();
+}
+const int32_t* cptv_exc_val_ptr(void* h) {
+  return static_cast<Reader*>(h)->exc_val.data();
 }
 
 void cptv_close(void* h) { delete static_cast<Reader*>(h); }

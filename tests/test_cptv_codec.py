@@ -242,3 +242,26 @@ def test_truncated_frame_payload_no_crash(tmp_path):
     flat[ei] += ev
     out1 = (clip.pixels[0].astype(np.int64) + rec[0]).astype(np.uint16)
     np.testing.assert_array_equal(out1, clip.pixels[1])
+
+
+def test_native_zero_copy_lifetime(possum_cptv):
+    """The native decoder exports pixels/delta as zero-copy views into the
+    Reader's buffers; the view base chain must keep the native memory alive
+    after the CptvClip itself is garbage-collected."""
+    import gc
+
+    if _load_native() is None:
+        pytest.skip("native codec unavailable")
+    clip = load_cptv(possum_cptv, backend="native")
+    want = clip.pixels[5:9].copy()
+    view = clip.pixels[5:9]
+    resid_view = clip.delta[0][:3] if clip.delta is not None else None
+    resid_want = resid_view.copy() if resid_view is not None else None
+    del clip
+    gc.collect()
+    # touch fresh heap so a use-after-free would show as corruption
+    junk = [np.full((200, 200), i, np.uint16) for i in range(8)]
+    assert np.array_equal(view, want)
+    if resid_view is not None:
+        assert np.array_equal(resid_view, resid_want)
+    del junk
