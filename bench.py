@@ -117,6 +117,11 @@ def outer():
 
 
 def main():
+    import logging
+
+    if os.environ.get("CPTPU_TIMING") == "1":
+        # surface the StageTimer shares (logged at INFO) on stderr
+        logging.basicConfig(level=logging.INFO, stream=sys.stderr)
     import jax
 
     # persistent compile cache: repeat bench runs skip the one-time Mosaic
