@@ -788,6 +788,94 @@ long long cptv_read_delta(void* h, int8_t* resid, int32_t* shift,
   return static_cast<long long>(r->exc_idx.size());
 }
 
+// ---------------------------------------------------- 4-bit residual pack ----
+// The upload residual stream is int8 per pixel, but ~98% of thermal frame
+// residuals fit a signed nibble [-8, 7]. Packing two pixels per byte halves
+// the (dominant) host->device upload bytes; the clamp remainders ride the
+// existing exception scatter (value = resid - clamp, applied additively on
+// device alongside the u16-level exceptions, so duplicate indices compose).
+// Pixel 2k -> low nibble of byte k, pixel 2k+1 -> high nibble; the device
+// inverse sign-extends with arithmetic shifts (tracker_jax._split_delta_fused).
+
+// Count of residuals outside [-8, 7] (the exception-list size pack4_emit_i8
+// will produce), so callers can size exact buffers before packing.
+long long pack4_count_i8(const int8_t* resid, long long n) {
+  long long cnt = 0;
+  long long i = 0;
+#if defined(__AVX2__)
+  const __m256i lo = _mm256_set1_epi8(-8);
+  const __m256i hi = _mm256_set1_epi8(7);
+  for (; i + 32 <= n; i += 32) {
+    __m256i v = _mm256_loadu_si256((const __m256i*)(resid + i));
+    __m256i in = _mm256_and_si256(_mm256_cmpgt_epi8(v, _mm256_sub_epi8(lo, _mm256_set1_epi8(1))),
+                                  _mm256_cmpgt_epi8(_mm256_add_epi8(hi, _mm256_set1_epi8(1)), v));
+    cnt += 32 - __builtin_popcount((unsigned)_mm256_movemask_epi8(in));
+  }
+#endif
+  for (; i < n; i++) {
+    int v = resid[i];
+    if (v < -8 || v > 7) cnt++;
+  }
+  return cnt;
+}
+
+// Pack n int8 residuals (n even) into n/2 bytes, clamping to [-8, 7].
+// Out-of-range remainders append (base_idx + i, resid[i] - clamp) to
+// exc_idx/exc_val, which the caller sized via pack4_count_i8.
+// Returns the emitted exception count.
+long long pack4_emit_i8(const int8_t* resid, long long n, uint8_t* packed,
+                        int32_t* exc_idx, int32_t* exc_val,
+                        long long base_idx) {
+  long long k = 0;
+  long long i = 0;
+#if defined(__AVX2__)
+  const __m256i cmin = _mm256_set1_epi8(-8);
+  const __m256i cmax = _mm256_set1_epi8(7);
+  const __m256i m0f16 = _mm256_set1_epi16(0x000F);
+  const __m256i mf016 = _mm256_set1_epi16(0x00F0);
+  for (; i + 32 <= n; i += 32) {
+    __m256i v = _mm256_loadu_si256((const __m256i*)(resid + i));
+    __m256i c = _mm256_min_epi8(_mm256_max_epi8(v, cmin), cmax);
+    // per 16-bit lane: even byte -> low nibble, odd byte -> high nibble
+    __m256i ev = _mm256_and_si256(c, m0f16);
+    __m256i od = _mm256_and_si256(_mm256_srli_epi16(c, 4), mf016);
+    __m256i b16 = _mm256_or_si256(ev, od);  // packed byte in each u16's low 8
+    // u16 -> u8 (values <= 0xFF so packus never saturates); fix lane order
+    __m256i p = _mm256_packus_epi16(b16, _mm256_permute2x128_si256(b16, b16, 1));
+    _mm_storeu_si128((__m128i*)(packed + i / 2), _mm256_castsi256_si128(p));
+    __m256i eq = _mm256_cmpeq_epi8(v, c);
+    unsigned m = ~(unsigned)_mm256_movemask_epi8(eq);
+    if (m) {  // rare: clamped residual(s) — walk only the set bits
+      alignas(32) int8_t vv[32], cc[32];
+      _mm256_store_si256((__m256i*)vv, v);
+      _mm256_store_si256((__m256i*)cc, c);
+      do {
+        int j = __builtin_ctz(m);
+        m &= m - 1;
+        exc_idx[k] = (int32_t)(base_idx + i + j);
+        exc_val[k] = (int32_t)vv[j] - cc[j];
+        k++;
+      } while (m);
+    }
+  }
+#endif
+  for (; i < n; i += 2) {
+    int out = 0;
+    for (int j = 0; j < 2; j++) {
+      int v = resid[i + j];
+      int c = v < -8 ? -8 : (v > 7 ? 7 : v);
+      if (v != c) {
+        exc_idx[k] = (int32_t)(base_idx + i + j);
+        exc_val[k] = v - c;
+        k++;
+      }
+      out |= (c & 0x0F) << (4 * j);
+    }
+    packed[i / 2] = (uint8_t)out;
+  }
+  return k;
+}
+
 // ---------------------------------------------------------------- writer ----
 
 struct Writer {

@@ -140,6 +140,14 @@ def _load_native():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
         ]
+    if hasattr(lib, "pack4_count_i8"):
+        lib.pack4_count_i8.restype = ctypes.c_longlong
+        lib.pack4_count_i8.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
+        lib.pack4_emit_i8.restype = ctypes.c_longlong
+        lib.pack4_emit_i8.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+        ]
     _lib = lib
     return _lib
 
@@ -196,6 +204,40 @@ def delta_encode_u16(th, cap: int = 1 << 20):
         shift,
         exc_idx[:k_pad],
         exc_val[:k_pad],
+    )
+
+
+def pack4_count(resid) -> int | None:
+    """Count of int8 residuals outside the signed-nibble range [-8, 7] —
+    the exception-list size pack4_into will emit. None when the native lib
+    is unavailable or lacks the pack4 entry points (stale build)."""
+    import numpy as np
+
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "pack4_count_i8"):
+        return None
+    assert resid.dtype == np.int8 and resid.flags.c_contiguous
+    return int(lib.pack4_count_i8(resid.ctypes.data, resid.size))
+
+
+def pack4_into(resid, packed, exc_idx, exc_val, base_idx: int) -> int:
+    """Pack int8 residuals (even count) into signed nibbles — pixel 2k in
+    the low nibble of packed[k], 2k+1 in the high — clamping to [-8, 7];
+    clamp remainders are written to exc_idx/exc_val as (base_idx + i,
+    resid[i] - clamp). Destinations are caller-provided views (the fused
+    staging buffer); exc views must be sized from pack4_count. Returns the
+    emitted exception count."""
+    import numpy as np
+
+    lib = _load_native()
+    n = resid.size
+    assert n % 2 == 0 and resid.dtype == np.int8 and resid.flags.c_contiguous
+    assert packed.size == n // 2 and packed.dtype == np.uint8
+    return int(
+        lib.pack4_emit_i8(
+            resid.ctypes.data, n, packed.ctypes.data,
+            exc_idx.ctypes.data, exc_val.ctypes.data, base_idx,
+        )
     )
 
 

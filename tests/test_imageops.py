@@ -167,10 +167,16 @@ def test_delta_upload_codec_bit_exact():
     np.testing.assert_array_equal(dec2, th)
 
 
-def test_fused_delta_upload_bit_exact():
+import pytest
+
+
+@pytest.mark.parametrize("pack4", [False, True])
+def test_fused_delta_upload_bit_exact(pack4):
     """The single-buffer fused upload (one device_put for first/shift/
     exceptions/residuals, split + bitcast on device) reconstructs the batch
-    bit-exactly, including ragged lengths and the replica padding tail."""
+    bit-exactly, including ragged lengths and the replica padding tail —
+    in both residual layouts: int8 and signed-nibble pack4 (where clamp
+    remainders join the exception scatter)."""
     import numpy as np
     import jax.numpy as jnp
 
@@ -185,11 +191,14 @@ def test_fused_delta_upload_bit_exact():
     thermals = []
     deltas = []
     for i, t in enumerate(lens):
-        th = 3000 + rng.normal(0, 5, (t, H, W)).cumsum(axis=0)
+        # sigma 2: residuals mostly fit a signed nibble, with a thin tail of
+        # pack4 clamp exceptions (sigma 5 would blow pack4's 6% exception
+        # budget and force the int8 fallback, dodging the pack4 assertions)
+        th = 3000 + rng.normal(0, 2, (t, H, W)).cumsum(axis=0)
         th = np.clip(th, 0, 65535).astype(np.uint16)
         if i == 0:
             th[20:] += 700  # global shift
-            th[5, 2, 3] += 4000  # outlier exception
+            th[5, 2, 3] += 4000  # u16-level exception composed w/ pack4 clamp
         thermals.append(th)
         first, resid, shift, ei, ev = (None,) * 5
         enc = delta_encode_u16(th[None])
@@ -201,11 +210,12 @@ def test_fused_delta_upload_bit_exact():
     params = TrackingParams(res_x=W, res_y=H)
     ffcs = [np.zeros(t, bool) for t in lens]
     bgs = [th[0] for th in thermals]
-    (buf, (B, T, Hh, Ww, K)), _, _ = tracker_jax._pad_clip_batch_delta(
-        thermals, ffcs, params, bgs, 8, deltas
+    (buf, (B, T, Hh, Ww, K, p4)), _, _ = tracker_jax._pad_clip_batch_delta(
+        thermals, ffcs, params, bgs, 8, deltas, pack4=pack4
     )
+    assert p4 == pack4  # native pack4 must be available in this env
     dec = np.asarray(tracker_jax._split_delta_fused(
-        jnp.asarray(buf), B=B, T=T, H=Hh, W=Ww, K=K))
+        jnp.asarray(buf), B=B, T=T, H=Hh, W=Ww, K=K, pack4=p4))
     for b, th in enumerate(thermals):
         np.testing.assert_array_equal(dec[b, : len(th)], th)
         # replica padding: every pad frame equals the clip's last frame
