@@ -295,7 +295,17 @@ class FlaxInterpreter:
             compute_dtype=jnp.bfloat16 if use_bf16 else jnp.float32,
         )
         weights_file = self.model_file.with_suffix(".msgpack")
-        if weights_file.exists():
+        if self.model_file.suffix == ".keras" and self.model_file.exists():
+            # reference-released tf.keras artifact (reference
+            # interpreter.py:569-583 consumes these): import its weights
+            # into the matching Flax classifier, no tensorflow needed
+            from classifier_pipeline_tpu.models.keras_import import (
+                import_keras_weights,
+            )
+
+            target = self._init_variables()
+            self.variables = import_keras_weights(target, self.model_file)
+        elif weights_file.exists():
             target = self._init_variables()
             self.variables = flax.serialization.from_bytes(
                 target, weights_file.read_bytes()

@@ -41,7 +41,12 @@ def _maxpool(x, window, stride, padding="VALID"):
 
 
 def _avgpool(x, window, stride, padding="VALID"):
-    return nn.avg_pool(x, (window, window), (stride, stride), padding)
+    # keras/TF AveragePooling2D excludes SAME-padding cells from the divisor
+    # (count_include_pad=False); numerically verified against tf.keras by the
+    # weight-import oracles (tests/test_keras_import.py)
+    return nn.avg_pool(
+        x, (window, window), (stride, stride), padding, count_include_pad=False
+    )
 
 
 def _zeropad(x, pad):
