@@ -28,19 +28,25 @@ def ir_frames(tmp_path_factory):
 
 
 def test_mog_background(ir_frames):
+    """Exact-oracle: IRBackground == cv2 MOG2 with the reference's params
+    (reference cliptracker.py:561-613) on the synthetic clip, per pixel."""
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
     from classifier_pipeline_tpu.pipeline.ir_extractor import load_video
     from classifier_pipeline_tpu.track import ir_background
 
     frames = load_video(ir_frames)
+    ref = cv2.createBackgroundSubtractorMOG2(history=1000, detectShadows=False)
+    ref.apply(frames[0], learningRate=1)
     bg = ir_background.IRBackground()
     bg.set_background(frames[0])
-    for f in frames[:10]:
+    for f in frames[:12]:
+        want = ref.apply(f, learningRate=-1)
         mask = np.asarray(bg.update_background(f))
-    # blob present at frame 9: the foreground mask must cover it
-    blob_mask = frames[9] > 200
-    overlap = (mask > 0) & blob_mask
-    assert overlap.sum() > 0.5 * blob_mask.sum()
-    # background pixels mostly clean
+        np.testing.assert_array_equal(mask, want)
+    # behavior sanity on top of exactness: zero false positives off-blob
+    blob_mask = frames[11] > 200
     assert (mask > 0)[~blob_mask].mean() < 0.05
 
 
