@@ -1,6 +1,10 @@
 """Benchmark: end-to-end extract+classify throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints JSON result lines ``{"metric", "value", "unit", "vs_baseline"}`` —
+possibly several, each an improvement on the last, so the LAST line on
+stdout is always the best completed measurement. The driver reads the last
+parseable line; streaming lines as they land means a tunnel flap (or the
+driver's own budget expiring) after the first measurement still scores.
 
 Baseline: the driver's north star is >50x real-time end-to-end processing of
 Lepton thermal clips per chip = 450 frames/s (clips are 9 fps). The
@@ -9,6 +13,19 @@ reference's own CI bound is 40 ms/frame (25 fps) tracking-only.
 The production shape is fleet batch processing, so the bench tracks a batch
 of clips concurrently through the vmapped whole-clip scan (one chip), then
 classifies every track, and reports aggregate end-to-end frames/sec.
+
+Measurement plan (inner process):
+  phase 1 — a 32-clip batch, chunks=1 (chunk size 32 == the full run's
+            chunk size, so it warms the same compiled programs): one
+            warm-up + one timed run, result printed IMMEDIATELY.
+  phase 2 — the full BENCH_BATCH (default 128) batch: warm-up, then 3
+            timed runs, an improved result line printed after EACH run.
+
+The remote-TPU tunnel occasionally drops mid-session and a wedged client
+blocks forever with no error. The outer process runs the inner bench under
+a watchdog, echoes every improved result line to stdout the moment the
+inner prints it, and retries on hang/failure with a fresh client — bounded
+by BENCH_TOTAL_BUDGET_S so the driver's own timeout never fires first.
 """
 
 import json
@@ -16,10 +33,9 @@ import os
 import subprocess
 import sys
 import tempfile
+import threading
 import time
 from pathlib import Path
-
-import numpy as np
 
 BASELINE_FPS = 450.0  # 50x real-time at 9 fps
 CLIPS_DIR = Path("/root/reference/tests/clips")
@@ -27,27 +43,32 @@ CLIPS_DIR = Path("/root/reference/tests/clips")
 # session; 256 compiles longer and degrades run-to-run). Larger batches
 # amortize the per-chunk tunnel latency without outgrowing HBM residency.
 BATCH = int(os.environ.get("BENCH_BATCH", "128"))
-# The remote-TPU tunnel occasionally drops mid-session; a wedged client
-# blocks forever (no error surfaces). The outer process runs the real bench
-# as a watchdogged subprocess and retries on hang/failure with a fresh
-# client so one flap can't zero the score.
-INNER_TIMEOUT_S = int(os.environ.get("BENCH_INNER_TIMEOUT_S", "1500"))
-RETRIES = int(os.environ.get("BENCH_RETRIES", "2"))
+SMALL_BATCH = int(os.environ.get("BENCH_SMALL_BATCH", "32"))
+# Per-attempt watchdog and total wall budget. r03's driver budget expired
+# at ~50 min with two 25-min inner hangs and zero salvage; keep every knob
+# well inside that envelope.
+INNER_TIMEOUT_S = int(os.environ.get("BENCH_INNER_TIMEOUT_S", "1100"))
+TOTAL_BUDGET_S = int(os.environ.get("BENCH_TOTAL_BUDGET_S", "2500"))
+RETRIES = int(os.environ.get("BENCH_RETRIES", "3"))
+
+_START = time.time()
 
 
 def log(msg):
-    print(msg, file=sys.stderr, flush=True)
+    print(f"[{time.time() - _START:7.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
-def _is_result(line):
-    # a SIGKILLed child can leave a truncated line in the pipe; only a
-    # complete JSON object counts as a salvageable result
+def _parse_result(line):
+    """Return the parsed result dict, or None. A SIGKILLed child can leave a
+    truncated line in the pipe; only a complete JSON object counts."""
+    line = line.strip()
     if not line.startswith("{"):
-        return False
+        return None
     try:
-        return "metric" in json.loads(line)
+        obj = json.loads(line)
     except ValueError:
-        return False
+        return None
+    return obj if isinstance(obj, dict) and "metric" in obj else None
 
 
 def _tunnel_up(timeout_s):
@@ -74,46 +95,103 @@ def _tunnel_up(timeout_s):
         return False
 
 
+class _Attempt:
+    """One watchdogged inner run. Echoes improved result lines to stdout as
+    they arrive (reader thread), so a later hang/kill loses nothing."""
+
+    def __init__(self, best_value):
+        self.best_value = best_value
+        self.results = []
+
+    def run(self, timeout_s):
+        proc = subprocess.Popen(
+            [sys.executable, __file__, "--inner"],
+            stdout=subprocess.PIPE,
+        )
+        done = threading.Event()
+
+        def reader():
+            for raw in proc.stdout:
+                obj = _parse_result(raw.decode(errors="replace"))
+                if obj is None:
+                    continue
+                self.results.append(obj)
+                if obj["value"] > self.best_value:
+                    self.best_value = obj["value"]
+                    print(json.dumps(obj), flush=True)
+                    log(f"result: {obj['value']} {obj['unit']}")
+            done.set()
+
+        t = threading.Thread(target=reader, daemon=True)
+        t.start()
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            if proc.poll() is not None:
+                done.wait(timeout=10)
+                return proc.returncode
+            time.sleep(1.0)
+        log(f"watchdog: inner exceeded {timeout_s:.0f}s, killing")
+        proc.kill()
+        done.wait(timeout=10)
+        return "timeout"
+
+
 def outer():
-    # The relay tunnel to the TPU occasionally drops for many minutes. A
-    # cheap preflight avoids burning a full INNER_TIMEOUT on a silent hang
-    # and waits (bounded) for the tunnel to come back before measuring.
-    # First probe gets extra headroom for cold device/compile init.
-    for wait in range(10):
-        if _tunnel_up(timeout_s=240 if wait == 0 else 75):
+    deadline = _START + TOTAL_BUDGET_S
+    # Bounded preflight: the relay tunnel to the TPU occasionally drops for
+    # many minutes. A cheap probe avoids burning a full INNER_TIMEOUT on a
+    # silent hang — but never spend more than ~7 min waiting here; a flaky
+    # tunnel is better probed by the (salvageable) attempt itself. First
+    # probe gets extra headroom for cold device init.
+    preflight_end = min(deadline - INNER_TIMEOUT_S, _START + 420)
+    probe = 0
+    while time.time() < preflight_end:
+        if _tunnel_up(timeout_s=180 if probe == 0 else 60):
+            log("preflight: tunnel up")
             break
-        log(f"bench: device tunnel down (probe {wait}); retrying in 120s")
-        if wait < 9:
-            time.sleep(120)
+        probe += 1
+        log(f"preflight: device tunnel down (probe {probe}); retrying in 60s")
+        time.sleep(min(60, max(0, preflight_end - time.time())))
+
+    best = 0.0
     for attempt in range(1 + RETRIES):
-        try:
-            out = subprocess.run(
-                [sys.executable, __file__, "--inner"],
-                stdout=subprocess.PIPE,
-                timeout=INNER_TIMEOUT_S,
-            )
-        except subprocess.TimeoutExpired as exc:
-            # the wedge can hit during client teardown AFTER the result
-            # printed — salvage a complete measurement from partial stdout
-            partial = (exc.stdout or b"").decode(errors="replace")
-            lines = [l for l in partial.splitlines() if _is_result(l)]
-            if lines:
-                log("bench: inner hung at teardown but had printed a result")
-                print(lines[-1])
-                return 0
-            log(f"bench: attempt {attempt} hung >{INNER_TIMEOUT_S}s "
-                "(tunnel flap?), retrying with a fresh client")
-            continue
-        lines = [
-            l for l in out.stdout.decode().splitlines()
-            if _is_result(l)
-        ]
-        if out.returncode == 0 and lines:
-            print(lines[-1])
+        remaining = deadline - time.time()
+        if remaining < 120:
+            log("budget exhausted, stopping attempts")
+            break
+        a = _Attempt(best_value=best)
+        rc = a.run(timeout_s=min(INNER_TIMEOUT_S, remaining))
+        best = max(best, a.best_value)
+        if rc == 0 and a.results:
             return 0
-        log(f"bench: attempt {attempt} failed rc={out.returncode}, retrying")
-    log("bench: all attempts failed")
+        log(f"attempt {attempt}: rc={rc}, "
+            f"{len(a.results)} result(s) salvaged, best={best}")
+    if best > 0:
+        log("finished degraded: at least one measurement landed")
+        return 0
+    log("all attempts failed with no measurement")
     return 1
+
+
+def _measure(classifier, paths, label, n_runs, chunks, emit):
+    """Warm up (compile) then time n_runs; emit(fps) after each run."""
+    from classifier_pipeline_tpu.cptv import load_cptv
+
+    n_frames = sum(int((~load_cptv(p).is_background).sum()) for p in paths)
+    log(f"{label}: warm-up (compile) over {len(paths)} clips, {n_frames} frames")
+    t0 = time.time()
+    classifier.process_batch(paths, chunks=chunks)
+    log(f"{label}: warm-up took {time.time() - t0:.1f}s; timing {n_runs} run(s)")
+    best = float("inf")
+    for i in range(n_runs):
+        t0 = time.time()
+        classifier.process_batch(paths, chunks=chunks)
+        dt = time.time() - t0
+        log(f"{label}: run {i} {dt:.1f}s ({n_frames / dt:.1f} fps)")
+        if dt < best:
+            best = dt
+            emit(n_frames / dt)
+    return n_frames / best
 
 
 def main():
@@ -129,7 +207,6 @@ def main():
     jax.config.update("jax_compilation_cache_dir", str(Path(__file__).parent / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from classifier_pipeline_tpu.config.config import Config, ModelConfig
-    from classifier_pipeline_tpu.cptv import load_cptv
     from classifier_pipeline_tpu.models.artifacts import create_model
     from classifier_pipeline_tpu.pipeline.clipclassifier import ClipClassifier
 
@@ -139,40 +216,37 @@ def main():
     model = ModelConfig(id=1, name="bench", model_file=str(model_prefix) + ".json")
     classifier = ClipClassifier(Config({}), model=model, seed=42)
 
-    paths = [CLIPS_DIR / "possum.cptv", CLIPS_DIR / "hedgehog.cptv"] * (BATCH // 2)
-    n_frames = sum(
-        int((~load_cptv(p).is_background).sum()) for p in paths
-    )
+    emitted = [0.0]
 
-    def run_once():
-        return classifier.process_batch(paths)
+    def emit(fps):
+        if fps <= emitted[0]:
+            return
+        emitted[0] = fps
+        print(
+            json.dumps(
+                {
+                    "metric": "end_to_end_extract_classify_fps",
+                    "value": round(fps, 2),
+                    "unit": "frames/sec",
+                    "vs_baseline": round(fps / BASELINE_FPS, 3),
+                }
+            ),
+            # flushed line-by-line: the outer reader echoes improvements
+            # upstream immediately, so a teardown wedge can't strand them
+            flush=True,
+        )
 
-    log(f"bench: warm-up (compile) over {len(paths)} clips, {n_frames} frames")
-    t0 = time.time()
-    run_once()  # warm-up / compile
-    log(f"bench: warm-up took {time.time() - t0:.1f}s; timing 3 runs")
-    best = float("inf")
-    for i in range(3):
-        t0 = time.time()
-        run_once()
-        dt = time.time() - t0
-        log(f"bench: run {i} {dt:.1f}s ({n_frames / dt:.1f} fps)")
-        best = min(best, dt)
-    fps = n_frames / best
-    print(
-        json.dumps(
-            {
-                "metric": "end_to_end_extract_classify_fps",
-                "value": round(fps, 2),
-                "unit": "frames/sec",
-                "vs_baseline": round(fps / BASELINE_FPS, 3),
-            }
-        ),
-        # unflushed, the result can die in the pipe buffer if the tunnel
-        # wedges the client during teardown (outer() then retries a
-        # completed measurement)
-        flush=True,
-    )
+    chunks = int(os.environ.get("BATCH_PIPELINE_CHUNKS", "4"))
+    full_paths = [CLIPS_DIR / "possum.cptv", CLIPS_DIR / "hedgehog.cptv"] * (BATCH // 2)
+    # Phase 1: small batch, single chunk — chunk size == BATCH/chunks so the
+    # same scan-group programs compile; lands a scoreable number fast.
+    if SMALL_BATCH > 0 and SMALL_BATCH < BATCH:
+        small_paths = full_paths[:SMALL_BATCH]
+        _measure(classifier, small_paths, "phase1(small)", n_runs=1,
+                 chunks=max(1, SMALL_BATCH * chunks // BATCH), emit=emit)
+    # Phase 2: the real measurement.
+    _measure(classifier, full_paths, "phase2(full)", n_runs=3,
+             chunks=chunks, emit=emit)
     return 0
 
 
