@@ -379,6 +379,15 @@ class ClipTrackExtractor:
             track_min_delta=th["track_min_delta"],
             track_max_delta=th["track_max_delta"],
         )
+        # track-filter knobs live in the tracking.thermal section (reference
+        # trackingconfig.py:44-48: max_tracks/min_moving_frames/... at the
+        # tracker level, durations/offsets under its "filters" subdict)
+        tracking = self.config.get("tracking", {}).get("thermal", {}) if self.config else {}
+        for k in ("max_tracks", "min_moving_frames", "max_blank_percent",
+                  "max_jitter"):
+            if tracking.get(k) is not None:
+                filter_cfg[k] = tracking[k]
+        filter_cfg.update(tracking.get("filters", {}) or {})
         filter_cfg.update(self.config.get("filters", {}))
         good, filtered = postprocess.filter_tracks(tracks, params, filter_cfg)
 

@@ -91,6 +91,69 @@ def test_lepton35_track_parity():
     assert_tracks_match(m["tracks"], gold["tracks"], mass_tol=1)
 
 
+SYNTH_CASES = [
+    # (fixture stem, config overrides) — clips from
+    # tools/make_synthetic_clips.py, goldens minted by the reference
+    # pipeline (tools/mint_goldens.py). Each targets an edge case the real
+    # fixture clips never reach (reference tests/trackingtest.py semantics).
+    ("synth_crossing", False),   # merge/cross: matcher ambiguity tiebreak
+    ("synth_many12", True),      # 12 simultaneous tracks (order-insensitive)
+    ("synth_ffc_storm", False),  # mid-clip FFC bursts split tracks
+    ("synth_blank_gap", False),  # Kalman bridging across 8 blank frames
+    ("synth_edge", False),       # border-clipped entry/exit regions
+]
+
+
+@pytest.mark.parametrize("stem,unordered", SYNTH_CASES,
+                         ids=[c[0] for c in SYNTH_CASES])
+def test_synthetic_corpus_parity(stem, unordered):
+    """Synthetic edge-case corpus: goldens are exact reference output.
+
+    many12 is compared order-insensitively: the reference creates
+    same-frame tracks by iterating a set() of regions (reference
+    cliptracker.py:140,207-210), so the relative order of equal-score
+    tracks is memory-address-dependent, not semantics."""
+    gold = json.loads((GOLDENS / f"{stem}.txt").read_text())
+    res = extract_file(FIXTURES / f"{stem}.cptv")
+    mine, theirs = res.metadata["tracks"], gold["tracks"]
+    if unordered:
+        def key(t):
+            p = t["positions"][0]
+            return (t["frame_start"], p["x"], p["y"], p["width"], p["height"])
+        mine, theirs = sorted(mine, key=key), sorted(theirs, key=key)
+    assert_tracks_match(mine, theirs)
+
+
+def test_many12_max_tracks_overflow():
+    """max_tracks keeps the n best tracks (reference cliptracker.py:403-414).
+    WHICH equal-score ties survive is set-order in the reference (see
+    above), so the cut is asserted structurally: count, filter reason, and
+    that the kept scores are the top-10 multiset of the full 12."""
+    import numpy as np
+
+    from classifier_pipeline_tpu.config.config import Config
+
+    full = extract_file(FIXTURES / "synth_many12.cptv")
+    all_scores = sorted(
+        (t["tracking_score"] for t in full.metadata["tracks"]), reverse=True
+    )
+    assert len(all_scores) == 12
+
+    cut = extract_file(
+        FIXTURES / "synth_many12.cptv",
+        config=Config({"tracking": {"thermal": {"max_tracks": 10}}}),
+    )
+    kept = cut.metadata["tracks"]
+    assert len(kept) == 10
+    kept_scores = sorted((t["tracking_score"] for t in kept), reverse=True)
+    assert np.allclose(kept_scores, all_scores[:10], atol=1e-4)
+    dropped = [
+        t for t in cut.filtered_tracks
+        if t.filtered_reason == "Too many tracks"
+    ]
+    assert len(dropped) == 2
+
+
 def test_minted_possum_equals_shipped_golden(possum_meta):
     """The golden-minting harness (tools/mint_goldens.py, reference-as-
     oracle) must reproduce the reference CI's shipped possum.txt exactly —

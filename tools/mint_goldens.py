@@ -85,7 +85,7 @@ def make_lepton35_fixture(src, dst):
     w.close()
 
 
-def mint(clip_path, workdir):
+def mint(clip_path, workdir, max_tracks=None):
     """Run the reference extract_file over a copy of clip_path; return the
     metadata dict it writes."""
     work = Path(workdir)
@@ -114,6 +114,8 @@ def mint(clip_path, workdir):
         # default config is what the reference CI goldens were minted with
         # (possum.txt: background_thresh=20, tracker_version=11 == defaults)
         config = Config.get_defaults()
+        if max_tracks is not None:
+            config.tracking["thermal"].max_tracks = max_tracks
         extract_file(local, config, cache_to_disk=False)
     finally:
         sys.path.pop(0)
@@ -153,6 +155,31 @@ def main():
             make_lepton35_fixture(REF / "tests/clips/hedgehog.cptv", hl35)
         meta = mint(hl35, td)
         (outdir / "hedgehog_l35.txt").write_text(json.dumps(meta, indent=1))
+
+        # 5. synthetic edge-case corpus (tools/make_synthetic_clips.py):
+        # crossing tracks, max_tracks overflow, FFC storms, blank-gap
+        # Kalman extrapolation, border-clipped regions
+        # many12 is minted WITHOUT max_tracks: the reference creates
+        # same-frame tracks by iterating a set() of regions
+        # (cliptracker.py:140,207-210), so the order among equal-score
+        # tracks — and hence WHICH ties a max_tracks cut drops — is
+        # memory-address-dependent and not a stable golden. The overflow
+        # behavior itself is asserted structurally in
+        # tests/test_tracking_parity.py::test_many12_max_tracks_overflow.
+        for name, mt in (
+            ("synth_crossing", None),
+            ("synth_many12", None),
+            ("synth_ffc_storm", None),
+            ("synth_blank_gap", None),
+            ("synth_edge", None),
+        ):
+            clip = fixdir / f"{name}.cptv"
+            if not clip.exists():
+                raise SystemExit(
+                    f"{clip} missing - run tools/make_synthetic_clips.py first"
+                )
+            meta = mint(clip, td, max_tracks=mt)
+            (outdir / f"{name}.txt").write_text(json.dumps(meta, indent=1))
     print("goldens written to", outdir)
 
 
