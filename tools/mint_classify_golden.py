@@ -1,0 +1,171 @@
+#!/usr/bin/env python3
+"""Mint an end-to-end CLASSIFICATION golden by running the reference
+pipeline (tf.keras, CPU) as oracle — the classifier-side analog of
+tools/mint_goldens.py.
+
+What it produces (all committed):
+  tests/fixtures/classify_model.keras  — a small WRResNet built by the
+      REFERENCE's own builder (ml_tools/resnet/wr_resnet.py) with seeded
+      deterministic weights, saved as a released-style .keras archive.
+  tests/fixtures/classify_model.json   — the sidecar metadata the reference
+      interpreter reads (labels + hyperparams, interpreter.py:23-41).
+  tests/goldens/possum_classify.json   — for each possum track, the
+      reference's classify_track output (interpreter.py:132-168 via
+      KerasModel): sampled segment frames, raw per-segment model outputs,
+      masses, and the accumulated TrackPrediction summary
+      (classify/trackprediction.py:127-194).
+
+tests/test_classify_golden.py then runs OUR FlaxInterpreter (weights
+imported from the very same .keras by models/keras_import.py) over the same
+clip with the same seed and asserts segment-for-segment equality.
+
+Determinism: segment sampling uses the interpreter's seed (reference
+interpreter.py:236 ``seed = self.seed``); weights are seeded; the clip is a
+fixed fixture — so the golden is stable.
+"""
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO / "tools"))
+
+from mint_goldens import REF, install_shims  # noqa: E402
+
+LABELS = ["bird", "cat", "false-positive", "possum", "rodent"]
+HYPERPARAMS = {
+    "model_name": "wr-resnet",
+    "frame_size": 32,
+    "square_width": 5,
+    "channels": ["thermal", "filtered"],
+    # small-but-real WRN so the fixture stays compact; both the reference
+    # builder and our registry honor depth/k (registry.py:34-36)
+    "depth": 10,
+    "k": 2,
+}
+SEED = 42
+
+
+def randomize_weights(model, seed):
+    """Same scheme as tests/test_keras_import.py:_randomize_weights —
+    non-degenerate BN stats and biases so a wrong import is visible."""
+    rng = np.random.RandomState(seed)
+    for w in model.weights:
+        name = w.path if hasattr(w, "path") else w.name
+        shape = tuple(w.shape)
+        if "moving_variance" in name:
+            w.assign(rng.uniform(0.5, 1.5, shape).astype(np.float32))
+        elif "moving_mean" in name:
+            w.assign(rng.normal(0.0, 0.1, shape).astype(np.float32))
+        elif "gamma" in name:
+            w.assign(rng.uniform(0.7, 1.3, shape).astype(np.float32))
+        elif "beta" in name or "bias" in name:
+            w.assign(rng.normal(0.0, 0.05, shape).astype(np.float32))
+
+
+def build_model_fixture(fixdir):
+    import tensorflow as tf
+    from ml_tools.resnet.wr_resnet import WRResNet  # reference builder
+
+    size = HYPERPARAMS["frame_size"] * HYPERPARAMS["square_width"]
+    n_ch = len(HYPERPARAMS["channels"])
+    inp = tf.keras.Input(shape=(size, size, n_ch), name="input")
+    base = WRResNet(inp, depth=HYPERPARAMS["depth"], k=HYPERPARAMS["k"],
+                    groups=2)
+    x = base(inp)
+    # head per reference kerasmodel.build_model:308-349
+    x = tf.keras.layers.GlobalAveragePooling2D()(x)
+    x = tf.keras.layers.Dropout(0.3)(x)
+    preds = tf.keras.layers.Dense(len(LABELS), activation="sigmoid",
+                                  name="prediction")(x)
+    model = tf.keras.Model(inp, preds)
+    randomize_weights(model, seed=7)
+    model_path = fixdir / "classify_model.keras"
+    model.save(str(model_path))
+    (fixdir / "classify_model.json").write_text(json.dumps({
+        "version": "golden-fixture",
+        "labels": LABELS,
+        "type": "thermal",
+        "hyperparams": HYPERPARAMS,
+    }, indent=1))
+    return model_path
+
+
+def mint_golden(model_path, outdir):
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, str(REF / "src"))
+    from config.config import Config
+    from ml_tools.kerasmodel import KerasModel
+    from track.trackextractor import extract_file
+
+    # cv2 5.0 needs (2,1) Kalman measurements (same shim as mint_goldens)
+    from track import kalman as ref_kalman
+
+    def _correct(self, rect):
+        pts = np.array(
+            [[np.float32(rect.centroid[0])], [np.float32(rect.centroid[1])]],
+            np.float32,
+        )
+        self.kalman.correct(pts)
+
+    ref_kalman.Kalman.correct = _correct
+
+    with tempfile.TemporaryDirectory() as td:
+        local = Path(td) / "possum.cptv"
+        shutil.copy(REF / "tests/clips/possum.cptv", local)
+        config = Config.get_defaults()
+        clip, _, _ = extract_file(local, config, cache_to_disk=False)
+
+    # get_interpreter_from_path at reference head passes init_model a
+    # run_over_network kwarg it doesn't accept; construct directly the way
+    # get_interpreter (interpreter.py:617-621) does
+    classifier = KerasModel()
+    classifier.init_model(Path(model_path))
+    classifier.seed = SEED
+
+    golden = {"seed": SEED, "labels": classifier.labels, "tracks": []}
+    for track in clip.tracks:
+        pred = classifier.classify_track(clip, track, min_segments=1)
+        golden["tracks"].append({
+            "track_id": track.get_id(),
+            # per-segment raw data (reference trackprediction.py:64-80)
+            "prediction_frames": [
+                [int(f) for f in p.frames] for p in pred.predictions
+            ],
+            "masses": [float(p.mass) for p in pred.predictions],
+            "raw_predictions": [
+                np.float64(p.prediction).tolist() for p in pred.predictions
+            ],
+            # accumulated summary (trackprediction.py:347-402)
+            "predicted_tag": pred.predicted_tag(),
+            "max_score": float(pred.max_score),
+            "clarity": float(pred.clarity),
+            "class_best_score": np.float64(pred.class_best_score).tolist(),
+        })
+    out = outdir / "possum_classify.json"
+    out.write_text(json.dumps(golden, indent=1))
+    return out
+
+
+def main():
+    fixdir = REPO / "tests/fixtures"
+    outdir = REPO / "tests/goldens"
+    # preload the keras->sklearn->pandas import chain before any shim or
+    # reference import can leave pandas half-initialized in sys.modules
+    import pandas  # noqa: F401
+    import tensorflow as tf  # noqa: F401
+
+    tf.keras.Input  # force keras lazy init
+    install_shims()
+    sys.path.insert(0, str(REF / "src"))
+    model_path = build_model_fixture(fixdir)
+    out = mint_golden(model_path, outdir)
+    print("wrote", model_path, "and", out)
+
+
+if __name__ == "__main__":
+    main()
