@@ -148,14 +148,10 @@ class _ResNetBlockV1(nn.Module):
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train, dtype=dt, name=name
         )
-        if self.conv_shortcut:
-            sc = nn.Conv(
-                4 * self.filters, (1, 1), strides=(self.stride, self.stride),
-                dtype=dt, name="conv_shortcut",
-            )(x)
-            sc = bn("bn_shortcut")(sc)
-        else:
-            sc = x
+        # module call order mirrors the keras .keras serialization order —
+        # per shortcut block convs/BNs appear as (1, 2, 0=shortcut, 3) —
+        # so the build-order weight importer (models/keras_import.py) maps
+        # released ResNet archives without name heuristics
         y = nn.Conv(
             self.filters, (1, 1), strides=(self.stride, self.stride),
             dtype=dt, name="conv1",
@@ -163,7 +159,16 @@ class _ResNetBlockV1(nn.Module):
         y = nn.relu(bn("bn1")(y))
         y = nn.Conv(self.filters, (3, 3), padding="SAME", dtype=dt, name="conv2")(y)
         y = nn.relu(bn("bn2")(y))
+        if self.conv_shortcut:
+            sc = nn.Conv(
+                4 * self.filters, (1, 1), strides=(self.stride, self.stride),
+                dtype=dt, name="conv_shortcut",
+            )(x)
+        else:
+            sc = x
         y = nn.Conv(4 * self.filters, (1, 1), dtype=dt, name="conv3")(y)
+        if self.conv_shortcut:
+            sc = bn("bn_shortcut")(sc)
         y = bn("bn3")(y)
         return nn.relu(y + sc)
 
@@ -212,16 +217,11 @@ class _ResNetBlockV2(nn.Module):
     @nn.compact
     def __call__(self, x, *, train: bool):
         dt = self.compute_dtype
+        # call order mirrors the keras .keras serialization order (convs
+        # 1, 2, 0=shortcut, 3; BNs preact, 1, 2) for the weight importer
         preact = nn.BatchNorm(use_running_average=not train, dtype=dt,
                               name="preact_bn")(x)
         preact = nn.relu(preact)
-        if self.conv_shortcut:
-            sc = nn.Conv(
-                4 * self.filters, (1, 1), strides=(self.stride, self.stride),
-                dtype=dt, name="conv_shortcut",
-            )(preact)
-        else:
-            sc = _maxpool(x, 1, self.stride) if self.stride > 1 else x
         y = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=dt, name="conv1")(
             preact
         )
@@ -234,6 +234,13 @@ class _ResNetBlockV2(nn.Module):
         )(y)
         y = nn.BatchNorm(use_running_average=not train, dtype=dt, name="bn2")(y)
         y = nn.relu(y)
+        if self.conv_shortcut:
+            sc = nn.Conv(
+                4 * self.filters, (1, 1), strides=(self.stride, self.stride),
+                dtype=dt, name="conv_shortcut",
+            )(preact)
+        else:
+            sc = _maxpool(x, 1, self.stride) if self.stride > 1 else x
         y = nn.Conv(4 * self.filters, (1, 1), dtype=dt, name="conv3")(y)
         return y + sc
 

@@ -92,6 +92,44 @@ def test_wr_resnet_keras_file_through_interpreter(tmp_path):
 
 
 @pytest.mark.oracle
+@pytest.mark.parametrize("family,builder_name", [
+    ("resnet", "ResNet50"),        # v1 bottleneck + (1,2,0,3) block order
+    ("resnetv2", "ResNet50V2"),    # pre-activation variant
+    ("vgg16", "VGG16"),            # plain conv stacks, biased convs, no BN
+    ("densenet121", "DenseNet121"),  # dense concat blocks
+])
+def test_family_weight_import_matches_keras(family, builder_name):
+    """Backbone families beyond the deployed pair: keras-saved weights
+    imported into the Flax twin produce equal feature maps."""
+    tf = pytest.importorskip("tensorflow")
+    from classifier_pipeline_tpu.models.keras_import import import_keras_weights
+    from classifier_pipeline_tpu.models.registry import BACKBONES
+
+    keras_model = getattr(tf.keras.applications, builder_name)(
+        weights=None, include_top=False, input_shape=(160, 160, 3)
+    )
+    _randomize_weights(keras_model, seed=19)
+    import tempfile
+    from pathlib import Path
+
+    with tempfile.TemporaryDirectory() as td:
+        path = Path(td) / f"{family}.keras"
+        keras_model.save(str(path))
+        flax_model = BACKBONES[family]({}, jnp.float32)
+        variables = flax_model.init(
+            jax.random.PRNGKey(0), jnp.zeros((1, 160, 160, 3)), train=False
+        )
+        variables = import_keras_weights(variables, path)
+
+    rng = np.random.RandomState(31)
+    x_np = rng.uniform(-1, 1, (2, 160, 160, 3)).astype(np.float32)
+    want = keras_model.predict(x_np, verbose=0)
+    got = flax_model.apply(variables, jnp.asarray(x_np), train=False,
+                           mutable=False)
+    _assert_close(got, want)
+
+
+@pytest.mark.oracle
 def test_inceptionv3_weight_import_matches_keras():
     """InceptionV3 backbone: keras-saved weights imported into the Flax twin
     produce equal feature maps (exercises no-bias convs, scale-free BN with
