@@ -179,13 +179,25 @@ def _sort_kind(group):
         return group
     base = _snake(next(iter(classes)))
     pat = re.compile(re.escape(base) + r"(?:_(\d+))?$")
-    keys = []
-    for _, _, name, sub, _ in group:
+    auto = []  # (index in group, sort key)
+    for i, (_, _, name, sub, _) in enumerate(group):
         m = pat.fullmatch(name or "")
-        if not m:
-            return group  # custom names: keep config order
-        keys.append((int(m.group(1) or 0), sub))
-    return [e for _, e in sorted(zip(keys, group), key=lambda t: t[0])]
+        if m:
+            auto.append((i, (int(m.group(1) or 0), sub)))
+    if not auto:
+        return group  # fully custom-named: keep config order
+    # Sort the auto-named subset by creation counter, leaving custom-named
+    # entries (e.g. InceptionResNetV2's final "conv_7b" amid auto convs) at
+    # their config positions — correct when, as in the keras applications,
+    # the custom-named layers sit on the linear spine where config order ==
+    # build order. Any wrong guess is caught by the import shape checks and
+    # the per-family oracle tests.
+    out = list(group)
+    slots = [i for i, _ in auto]
+    ordered = sorted(auto, key=lambda t: t[1])
+    for slot, (src, _) in zip(slots, ordered):
+        out[slot] = group[src]
+    return out
 
 
 def _flax_entries(params, batch_stats):

@@ -94,9 +94,13 @@ def test_wr_resnet_keras_file_through_interpreter(tmp_path):
 @pytest.mark.oracle
 @pytest.mark.parametrize("family,builder_name", [
     ("resnet", "ResNet50"),        # v1 bottleneck + (1,2,0,3) block order
+    ("resnet152", "ResNet152"),    # deep v1 variant
     ("resnetv2", "ResNet50V2"),    # pre-activation variant
     ("vgg16", "VGG16"),            # plain conv stacks, biased convs, no BN
+    ("vgg19", "VGG19"),
     ("densenet121", "DenseNet121"),  # dense concat blocks
+    # custom-named final conv amid auto-named ones (partial-sort path)
+    ("inceptionresnetv2", "InceptionResNetV2"),
 ])
 def test_family_weight_import_matches_keras(family, builder_name):
     """Backbone families beyond the deployed pair: keras-saved weights
