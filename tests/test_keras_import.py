@@ -23,22 +23,33 @@ import jax.numpy as jnp
 sys.path.insert(0, "/root/reference/src")
 
 
-def _randomize_weights(model, seed):
+def _randomize_weights(model, seed, mild=False):
     """Non-degenerate weights everywhere: keras inits give glorot convs, but
     BN running stats default to (0, 1) — a wrong mean/var import would be
-    invisible. Randomize stats and biases at inference-sane scales."""
+    invisible. Randomize stats and biases at inference-sane scales.
+
+    mild=True keeps the perturbations small for DEEP residual stacks
+    (EfficientNetV2's 32 blocks): the strong scheme makes activations grow
+    ~2x per residual add, amplifying float32 noise to ~0.2 relative by the
+    final block even with a bit-correct import (measured block-by-block —
+    early blocks sit at 6e-7). A mis-mapped weight still shows as O(1)
+    error instantly under the mild scheme."""
     rng = np.random.RandomState(seed)
+    var_rng = (0.9, 1.1) if mild else (0.5, 1.5)
+    gamma_rng = (0.95, 1.05) if mild else (0.7, 1.3)
+    mean_sd = 0.02 if mild else 0.1
+    bias_sd = 0.01 if mild else 0.05
     for w in model.weights:
         name = w.path if hasattr(w, "path") else w.name
         shape = tuple(w.shape)
         if "moving_variance" in name:
-            w.assign(rng.uniform(0.5, 1.5, shape).astype(np.float32))
+            w.assign(rng.uniform(*var_rng, shape).astype(np.float32))
         elif "moving_mean" in name:
-            w.assign(rng.normal(0.0, 0.1, shape).astype(np.float32))
+            w.assign(rng.normal(0.0, mean_sd, shape).astype(np.float32))
         elif "gamma" in name:
-            w.assign(rng.uniform(0.7, 1.3, shape).astype(np.float32))
+            w.assign(rng.uniform(*gamma_rng, shape).astype(np.float32))
         elif "beta" in name or "bias" in name:
-            w.assign(rng.normal(0.0, 0.05, shape).astype(np.float32))
+            w.assign(rng.normal(0.0, bias_sd, shape).astype(np.float32))
 
 
 def _assert_close(ours, theirs, rtol=2e-3, atol=None):
@@ -91,28 +102,45 @@ def test_wr_resnet_keras_file_through_interpreter(tmp_path):
     _assert_close(got, want)
 
 
-@pytest.mark.oracle
-@pytest.mark.parametrize("family,builder_name", [
-    ("resnet", "ResNet50"),        # v1 bottleneck + (1,2,0,3) block order
-    ("resnet152", "ResNet152"),    # deep v1 variant
-    ("resnetv2", "ResNet50V2"),    # pre-activation variant
-    ("vgg16", "VGG16"),            # plain conv stacks, biased convs, no BN
-    ("vgg19", "VGG19"),
-    ("densenet121", "DenseNet121"),  # dense concat blocks
+# (family, keras builder, internal_preprocess, mild_randomization)
+# internal_preprocess: the KERAS model embeds Rescaling/Normalization
+# layers (efficientnet.py:325-326, efficientnet_v2.py:932-952) which the
+# zoo expresses as PREPROCESS functions — the flax side applies them for a
+# fair comparison. mild: EfficientNetV2's 32 residual blocks amplify float
+# noise ~2x/block under the strong randomization (bit-correct import
+# measured 6e-7 early-block, 0.2 relative by block 32), so its stats are
+# perturbed mildly — a mis-mapped weight still errors at O(1) instantly.
+FAMILIES = [
+    ("resnet", "ResNet50", False, False),   # v1 bottleneck, (1,2,0,3) order
+    ("resnet152", "ResNet152", False, False),
+    ("resnetv2", "ResNet50V2", False, False),  # pre-activation variant
+    ("vgg16", "VGG16", False, False),       # biased convs, no BN
+    ("vgg19", "VGG19", False, False),
+    ("densenet121", "DenseNet121", False, False),  # dense concat blocks
     # custom-named final conv amid auto-named ones (partial-sort path)
-    ("inceptionresnetv2", "InceptionResNetV2"),
-])
-def test_family_weight_import_matches_keras(family, builder_name):
+    ("inceptionresnetv2", "InceptionResNetV2", False, False),
+    ("efficientnetb0", "EfficientNetB0", True, False),  # SE + dw convs
+    ("efficientnetb1", "EfficientNetB1", True, False),
+    ("efficientnetv2b3", "EfficientNetV2B3", True, True),  # fused MBConv
+]
+
+
+@pytest.mark.oracle
+@pytest.mark.parametrize("family,builder_name,internal_pre,mild", FAMILIES,
+                         ids=[f[0] for f in FAMILIES])
+def test_family_weight_import_matches_keras(family, builder_name,
+                                            internal_pre, mild):
     """Backbone families beyond the deployed pair: keras-saved weights
     imported into the Flax twin produce equal feature maps."""
     tf = pytest.importorskip("tensorflow")
     from classifier_pipeline_tpu.models.keras_import import import_keras_weights
     from classifier_pipeline_tpu.models.registry import BACKBONES
+    from classifier_pipeline_tpu.models.zoo import PREPROCESS
 
     keras_model = getattr(tf.keras.applications, builder_name)(
         weights=None, include_top=False, input_shape=(160, 160, 3)
     )
-    _randomize_weights(keras_model, seed=19)
+    _randomize_weights(keras_model, seed=19, mild=mild)
     import tempfile
     from pathlib import Path
 
@@ -126,10 +154,15 @@ def test_family_weight_import_matches_keras(family, builder_name):
         variables = import_keras_weights(variables, path)
 
     rng = np.random.RandomState(31)
-    x_np = rng.uniform(-1, 1, (2, 160, 160, 3)).astype(np.float32)
+    if internal_pre:
+        x_np = rng.uniform(0, 255, (2, 160, 160, 3)).astype(np.float32)
+        x_flax = jnp.asarray(np.asarray(PREPROCESS[family](jnp.asarray(x_np)),
+                                        np.float32))
+    else:
+        x_np = rng.uniform(-1, 1, (2, 160, 160, 3)).astype(np.float32)
+        x_flax = jnp.asarray(x_np)
     want = keras_model.predict(x_np, verbose=0)
-    got = flax_model.apply(variables, jnp.asarray(x_np), train=False,
-                           mutable=False)
+    got = flax_model.apply(variables, x_flax, train=False, mutable=False)
     _assert_close(got, want)
 
 

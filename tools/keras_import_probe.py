@@ -39,8 +39,17 @@ def keras_builders(tf):
         "efficientnetb0": lambda s: K.EfficientNetB0(weights=None, include_top=False, input_shape=s),
         "efficientnetb1": lambda s: K.EfficientNetB1(weights=None, include_top=False, input_shape=s),
         "efficientnetv2b3": lambda s: K.EfficientNetV2B3(weights=None, include_top=False, input_shape=s),
-        "nasnet": lambda s: K.NASNetMobile(weights=None, include_top=False, input_shape=s),
+        "nasnet": lambda s: K.NASNetLarge(weights=None, include_top=False, input_shape=s),
     }
+
+
+# families whose KERAS model embeds its preprocessing as layers
+# (Rescaling/Normalization built from constants — efficientnet.py:325-326,
+# efficientnet_v2.py:932-952); the zoo expresses those as PREPROCESS
+# functions, so the flax side must apply them for a fair comparison
+INTERNAL_PREPROCESS = {
+    "efficientnetb0", "efficientnetb1", "efficientnetb5", "efficientnetv2b3",
+}
 
 
 def probe(name, builder):
@@ -50,10 +59,12 @@ def probe(name, builder):
 
     from classifier_pipeline_tpu.models.keras_import import import_keras_weights
     from classifier_pipeline_tpu.models.registry import BACKBONES
+    from classifier_pipeline_tpu.models.zoo import PREPROCESS
 
     shape = (160, 160, 3)
     keras_model = builder(shape)
-    _randomize_weights(keras_model, seed=23)
+    _randomize_weights(keras_model, seed=23,
+                       mild=name.startswith("efficientnetv2"))
     with tempfile.TemporaryDirectory() as td:
         path = Path(td) / f"{name}.keras"
         keras_model.save(str(path))
@@ -64,10 +75,16 @@ def probe(name, builder):
         variables = import_keras_weights(variables, path)
 
     rng = np.random.RandomState(29)
-    x = rng.uniform(-1, 1, (2,) + shape).astype(np.float32)
+    if name in INTERNAL_PREPROCESS:
+        x = rng.uniform(0, 255, (2,) + shape).astype(np.float32)
+        x_flax = np.asarray(PREPROCESS[name](jnp.asarray(x)), np.float32)
+    else:
+        x = rng.uniform(-1, 1, (2,) + shape).astype(np.float32)
+        x_flax = x
     want = keras_model.predict(x, verbose=0)
     got = np.asarray(
-        flax_model.apply(variables, jnp.asarray(x), train=False, mutable=False)
+        flax_model.apply(variables, jnp.asarray(x_flax), train=False,
+                         mutable=False)
     )
     scale = max(1.0, float(np.abs(want).max()))
     diff = float(np.abs(got - want).max())
