@@ -121,8 +121,15 @@ FAMILIES = [
     ("inceptionresnetv2", "InceptionResNetV2", False, False),
     ("efficientnetb0", "EfficientNetB0", True, False),  # SE + dw convs
     ("efficientnetb1", "EfficientNetB1", True, False),
+    ("efficientnetb5", "EfficientNetB5", True, False),
     ("efficientnetv2b3", "EfficientNetV2B3", True, True),  # fused MBConv
 ]
+# With wr-resnet, inceptionv3 and mobilenet below: 13 of the 14 zoo
+# families are output-equality verified under imported tf.keras weights.
+# NASNetLarge is the exception: keras names every layer (no creation
+# counters to recover build order from) and its cell graph serializes in a
+# topo order that interleaves branches across cells, so the build-order
+# importer cannot map it; it stays param-count verified (test_zoo.py).
 
 
 @pytest.mark.oracle

@@ -38,6 +38,7 @@ def keras_builders(tf):
         "inceptionresnetv2": lambda s: K.InceptionResNetV2(weights=None, include_top=False, input_shape=s),
         "efficientnetb0": lambda s: K.EfficientNetB0(weights=None, include_top=False, input_shape=s),
         "efficientnetb1": lambda s: K.EfficientNetB1(weights=None, include_top=False, input_shape=s),
+        "efficientnetb5": lambda s: K.EfficientNetB5(weights=None, include_top=False, input_shape=s),
         "efficientnetv2b3": lambda s: K.EfficientNetV2B3(weights=None, include_top=False, input_shape=s),
         "nasnet": lambda s: K.NASNetLarge(weights=None, include_top=False, input_shape=s),
     }
