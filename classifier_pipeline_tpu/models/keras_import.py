@@ -200,6 +200,98 @@ def _sort_kind(group):
     return out
 
 
+# ---------------------------------------------------------------------------
+# NASNet: keras names every layer (no creation counters to sort by) and the
+# Functional config serializes its cell graph in a topo order that
+# interleaves branches across cells, so build-order pairing cannot work.
+# Instead the names themselves are fully systematic (keras nasnet.py:
+# _normal_a_cell/_reduction_a_cell/_adjust_block/_separable_conv_block), and
+# the Flax twin (zoo.NASNetLarge) names its modules to mirror them — so
+# NASNet imports by NAME. The tokens below map a keras sep-block position to
+# the Flax sep-block module name (keras calls the reduction cell's last
+# branch "left4"; the twin calls it "left5" to match its x5 output slot).
+# ---------------------------------------------------------------------------
+
+_NASNET_POS = {
+    "normal_left1": "left1", "normal_right1": "right1",
+    "normal_left2": "left2", "normal_right2": "right2",
+    "normal_left5": "left5",
+    "reduction_left1": "left1", "reduction_right1": "right1",
+    "reduction_right2": "right2", "reduction_right3": "right3",
+    "reduction_left4": "left5",
+}
+_NASNET_SEP = re.compile(
+    r"^separable_conv_([12])(_bn)?_(%s)_(.+)$" % "|".join(_NASNET_POS)
+)
+_NASNET_ADJ = re.compile(r"^adjust_(conv_1|conv_2|conv_projection|bn)_(.+)$")
+_NASNET_CELL1 = re.compile(r"^(?:normal|reduction)_(conv_1|bn_1)_(.+)$")
+
+
+def _nasnet_cell_name(block_id):
+    """keras block_id -> Flax cell module name (zoo.NASNetLarge.__call__)."""
+    if block_id.startswith("stem") or block_id.startswith("reduce"):
+        return block_id
+    return f"normal_{block_id}"
+
+
+def _nasnet_relpath(name, sub):
+    """Map one keras nasnet layer name (+ sub-index for the two convs of a
+    SeparableConv2D) to the Flax param path relative to the NASNet module.
+    Returns None for names that are not nasnet-patterned (e.g. a classifier
+    head on top of the backbone)."""
+    if name == "stem_conv1" or name == "stem_bn1":
+        return (name,)
+    m = _NASNET_SEP.match(name)
+    if m:
+        idx, is_bn, pos, bid = m.groups()
+        leaf = f"bn{idx}" if is_bn else (f"dw{idx}" if sub == 0 else f"pw{idx}")
+        return (_nasnet_cell_name(bid), _NASNET_POS[pos], leaf)
+    m = _NASNET_ADJ.match(name)
+    if m:
+        kind, bid = m.groups()
+        return (_nasnet_cell_name(bid), f"adjust_{kind}")
+    m = _NASNET_CELL1.match(name)
+    if m:
+        kind, bid = m.groups()
+        return (_nasnet_cell_name(bid), kind)
+    return None
+
+
+def _nasnet_order(kentries, fpaths, kind, anchor):
+    """Order one kind's keras entries to match the Flax path list by name.
+
+    Flax paths are anchored at the NASNet module root (``anchor``, the path
+    prefix of the ``stem_conv1`` conv). Entries whose names don't parse as
+    nasnet layers (head layers above the backbone) pair with the leftover
+    Flax paths in config order, as in the default importer."""
+    by_path = {}
+    unmatched = []
+    for e in kentries:
+        rel = _nasnet_relpath(e[2], e[3])
+        if rel is None:
+            unmatched.append(e[4])
+        else:
+            by_path[anchor + rel] = e[4]
+    ordered = []
+    for p in fpaths:
+        if p in by_path:
+            ordered.append(by_path.pop(p))
+        elif unmatched:
+            ordered.append(unmatched.pop(0))
+        else:
+            raise ValueError(
+                f"nasnet import: no keras {kind} layer maps to flax module "
+                f"{'/'.join(p)}"
+            )
+    if by_path or unmatched:
+        raise ValueError(
+            f"nasnet import: {len(by_path) + len(unmatched)} keras {kind} "
+            f"layers found no flax module (e.g. "
+            f"{['/'.join(p) for p in list(by_path)[:3]]})"
+        )
+    return ordered
+
+
 def _flax_entries(params, batch_stats):
     """Walk the variables tree in insertion (== construction == call) order
     and classify each leaf-module as conv / dense / bn."""
@@ -259,8 +351,22 @@ def import_keras_weights(variables, keras_path):
         by_kind_k[entry[0]].append(entry)
     for kind, p in fentries:
         by_kind_f[kind].append(p)
+    nasnet = any(e[2] == "reduction_conv_1_stem_1" for e in kentries)
+    anchor = None
+    if nasnet:
+        for p in by_kind_f["conv"]:
+            if p[-1] == "stem_conv1":
+                anchor = p[:-1]
+        if anchor is None:
+            raise ValueError(
+                "nasnet import: no stem_conv1 module in the flax tree"
+            )
     for kind in ("conv", "dense", "bn"):
-        ordered = [e[4] for e in _sort_kind(by_kind_k[kind])]
+        if nasnet:
+            ordered = _nasnet_order(by_kind_k[kind], by_kind_f[kind], kind,
+                                    anchor)
+        else:
+            ordered = [e[4] for e in _sort_kind(by_kind_k[kind])]
         nk, nf = len(ordered), len(by_kind_f[kind])
         if nk != nf:
             raise ValueError(

@@ -124,12 +124,14 @@ FAMILIES = [
     ("efficientnetb5", "EfficientNetB5", True, False),
     ("efficientnetv2b3", "EfficientNetV2B3", True, True),  # fused MBConv
 ]
-# With wr-resnet, inceptionv3 and mobilenet below: 13 of the 14 zoo
+# With wr-resnet, inceptionv3, mobilenet and nasnet (below): all 14 zoo
 # families are output-equality verified under imported tf.keras weights.
-# NASNetLarge is the exception: keras names every layer (no creation
+# NASNetLarge needs its own path: keras names every layer (no creation
 # counters to recover build order from) and its cell graph serializes in a
 # topo order that interleaves branches across cells, so the build-order
-# importer cannot map it; it stays param-count verified (test_zoo.py).
+# importer cannot map it — keras_import maps it by NAME instead
+# (keras_import._nasnet_relpath), tested on a reduced NASNet-A that
+# exercises every layer-name pattern of the full graph.
 
 
 @pytest.mark.oracle
@@ -170,6 +172,42 @@ def test_family_weight_import_matches_keras(family, builder_name,
         x_flax = jnp.asarray(x_np)
     want = keras_model.predict(x_np, verbose=0)
     got = flax_model.apply(variables, x_flax, train=False, mutable=False)
+    _assert_close(got, want)
+
+
+@pytest.mark.oracle
+def test_nasnet_weight_import_matches_keras(tmp_path):
+    """NASNet imports by NAME (see keras_import._nasnet_relpath). A reduced
+    NASNet-A — 96 penultimate filters, 2 blocks, 8 stem filters — has the
+    same cell graph and therefore every layer-name pattern of NASNetLarge
+    (stem, adjust spatial/projection, all 10 separable-block positions,
+    cell convs) while building in seconds; the Flax twin takes the same
+    hyperparameters (zoo.NASNetLarge attributes)."""
+    pytest.importorskip("tensorflow")
+    from keras.src.applications.nasnet import NASNet
+    from classifier_pipeline_tpu.models.keras_import import import_keras_weights
+    from classifier_pipeline_tpu.models.zoo import NASNetLarge
+
+    keras_model = NASNet(
+        input_shape=(160, 160, 3), penultimate_filters=96, num_blocks=2,
+        stem_block_filters=8, skip_reduction=True, filter_multiplier=2,
+        include_top=False, weights=None,
+    )
+    _randomize_weights(keras_model, seed=23)
+    flax_model = NASNetLarge(penultimate_filters=96, num_blocks=2,
+                             stem_filters=8)
+    variables = flax_model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 160, 160, 3)), train=False
+    )
+    path = tmp_path / "nasnet.keras"
+    keras_model.save(str(path))
+    variables = import_keras_weights(variables, path)
+
+    rng = np.random.RandomState(37)
+    x_np = rng.uniform(-1, 1, (2, 160, 160, 3)).astype(np.float32)
+    want = keras_model.predict(x_np, verbose=0)
+    got = flax_model.apply(variables, jnp.asarray(x_np), train=False,
+                           mutable=False)
     _assert_close(got, want)
 
 
