@@ -250,6 +250,12 @@ class FlaxInterpreter:
         self.port = 8123
         self.id = None
         self.seed = None
+        # (F_cap, T_cap, S_cap): fixed paddings for the streaming runtime.
+        # When set, _segment_tensors pads to these instead of the dynamic
+        # power-of-two buckets, so every live predict reuses ONE compiled
+        # program (warmed by warmup_streaming) instead of stalling on a
+        # fresh XLA compile per shape combination mid-stream.
+        self.streaming_caps = None
         self.model = None
         self.variables = None
         if load_model and not run_over_network:
@@ -523,7 +529,8 @@ class FlaxInterpreter:
             return None
         clip_at_zero = clip_ctx.clip_thermals_at_zero(regions)
         F = len(regions)
-        Fb = _next_bucket(F, 8)
+        caps = self.streaming_caps
+        Fb = caps[0] if caps and F <= caps[0] else _next_bucket(F, 8)
         reg_arr = np.zeros((Fb, 5), np.int32)
         valid = np.zeros((Fb,), bool)
         frame_to_pos = {}
@@ -536,14 +543,15 @@ class FlaxInterpreter:
             if not b.blank and b.width > 0 and b.height > 0
             and clip_ctx.has_frame(b.frame_number)
         ]
-        Tb = _next_bucket(len(track_regions), 8)
+        nt = len(track_regions)
+        Tb = caps[1] if caps and nt <= caps[1] else _next_bucket(nt, 8)
         tr = np.zeros((Tb, 5), np.int32)
         tv = np.zeros((Tb,), bool)
         for i, r in enumerate(track_regions):
             tr[i] = (clip_ctx.index_of(r.frame_number), r.x, r.y, r.width, r.height)
             tv[i] = True
         S = len(segments)
-        Sb = _next_bucket(S)
+        Sb = caps[2] if caps and S <= caps[2] else _next_bucket(S)
         sw2 = self.params.square_width**2
         seg_idx = np.zeros((Sb, sw2), np.int32)
         for i, seg in enumerate(segments):
@@ -627,6 +635,46 @@ class FlaxInterpreter:
         masses = [seg.mass for seg in segments]
         return [list(s.frame_indices) for s in segments], output, masses
 
+    def warmup_streaming(self, n_frames, h, w):
+        """Pre-compile the streaming fused classify programs at the fixed
+        streaming shapes (both clip_at_zero variants), so no XLA compile —
+        seconds of stall on a weak host — ever lands mid-stream. Requires
+        streaming_caps to be set; no-op otherwise."""
+        if self.streaming_caps is None or self.run_over_network:
+            return
+        if self.model is None:
+            return
+        F, T, S = self.streaming_caps
+        sw2 = self.params.square_width ** 2
+        thermal = jnp.zeros((n_frames, h, w), jnp.float32)
+        filtered = jnp.zeros((n_frames, h, w), jnp.float32)
+        medians = jnp.zeros((n_frames,), jnp.float32)
+        reg = np.zeros((F, 5), np.int32)
+        reg[:, 1:3] = 1
+        reg[:, 3:] = 8  # non-degenerate boxes keep the resize path benign
+        valid = np.zeros((F,), bool)
+        valid[0] = True
+        tr = np.zeros((T, 5), np.int32)
+        tr[:, 1:3] = 1
+        tr[:, 3:] = 8
+        tv = np.zeros((T,), bool)
+        tv[0] = True
+        seg = np.zeros((S, sw2), np.int32)
+        if self.params.mvm:
+            from classifier_pipeline_tpu.models.forest import MVM_FEATURE_DIM
+
+            feats = np.zeros((MVM_FEATURE_DIM,), np.float32)
+        else:
+            feats = np.zeros((1,), np.float32)
+        for caz in (True, False):
+            out = self._fused_classify(
+                self.variables, thermal, filtered, medians,
+                jnp.asarray(reg), jnp.asarray(valid), jnp.asarray(tr),
+                jnp.asarray(tv), jnp.asarray(seg), jnp.asarray(feats),
+                clip_at_zero=caz, diff_norm=bool(self.params.diff_norm),
+            )
+            np.asarray(out)
+
     def predict_recent_frames(self, clip_ctx, track, **args):
         """Streaming cascade entry (reference interpreter.py:103-109):
         classify the last N frames of a live track. Returns
@@ -634,13 +682,23 @@ class FlaxInterpreter:
         segments = self.frames_for_prediction(clip_ctx, track, **args)
         if not segments:
             return None
-        frames, preprocessed, masses = self.preprocess_segments(
+        if self.run_over_network:
+            frames, preprocessed, masses = self.preprocess_segments(
+                clip_ctx, track, segments
+            )
+            if preprocessed is None or len(preprocessed) == 0:
+                return None
+            prediction = self.predict(preprocessed)
+            return prediction, frames, masses
+        # local: one fused preprocess+forward program per call — with
+        # streaming_caps set its shapes are fixed, so after
+        # warmup_streaming no live predict ever waits on an XLA compile
+        frames, output, masses = self.classify_track_fused(
             clip_ctx, track, segments
         )
-        if preprocessed is None or len(preprocessed) == 0:
+        if output is None or len(output) == 0:
             return None
-        prediction = self.predict(preprocessed)
-        return prediction, frames, masses
+        return output, frames, masses
 
     def classify_track(self, clip_ctx, track, segment_frames=None, min_segments=None):
         start = time.time()

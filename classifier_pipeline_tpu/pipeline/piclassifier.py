@@ -199,15 +199,35 @@ class PiClassifier:
         # frame ring for classification (thermal + filtered + numbers)
         self._ring = deque(maxlen=max(64, self.max_keep_frames + 14))
         self.output_dir = Path(thermal_config.recorder.output_dir)
+        # Fix the streaming classify shapes and compile them NOW, with the
+        # tracker warmup, so no XLA compile ever stalls the live loop: F
+        # covers the largest predict window (fp predicts from the last 45
+        # frames, the full model from predict_from_last), T covers the
+        # frame ring, S is the one segment per cadence tick.
+        fcap = -(-max(45, self.predict_from_last) // 8) * 8
+        tcap = -(-self._ring.maxlen // 8) * 8
+        for m in (self.classifier, self.fp_model):
+            if m is not None and hasattr(m, "streaming_caps"):
+                m.streaming_caps = (fcap, tcap, 1)
+        if self.classify:
+            self.startup_classifier()
 
     # ----------------------------------------------------------- helpers ---
 
     def startup_classifier(self):
+        if self.classifier_initialised:
+            return
         self.classifier_initialised = True
         if self.classifier is None:
             return
         num_inputs, in_shape = self.classifier.shape()
         self.classifier.predict(np.zeros((1, *in_shape[1:]), np.float32))
+        # compile the fused streaming predict programs at their fixed
+        # shapes (see interpreter.warmup_streaming)
+        cap = self._ring.maxlen
+        for m in (self.classifier, self.fp_model):
+            if m is not None and hasattr(m, "warmup_streaming"):
+                m.warmup_streaming(cap, self.headers.res_y, self.headers.res_x)
 
     def _bg_rational(self):
         avg = self.motion_detector._background.average
@@ -227,10 +247,23 @@ class PiClassifier:
         if not self._ring:
             return None
         frames = list(self._ring)
-        thermal = np.stack([f[1] for f in frames])
-        filtered = np.stack([f[2] for f in frames])
+        n = len(frames)
+        # pad the stacks to the ring CAPACITY: the jitted classify programs
+        # then see one fixed frame-axis length for the whole stream instead
+        # of a new shape (= a new XLA compile, ~seconds of stall) every time
+        # the ring grows. Padded rows are never referenced — region tensors
+        # index real frames only (frame_numbers covers just the live rows).
+        cap = self._ring.maxlen
+        thermal = np.zeros((cap,) + frames[0][1].shape, frames[0][1].dtype)
+        filtered = np.zeros((cap,) + frames[0][2].shape, frames[0][2].dtype)
+        for i, f in enumerate(frames):
+            thermal[i] = f[1]
+            filtered[i] = f[2]
+        medians = np.zeros((cap,), np.float32)
+        medians[:n] = np.median(thermal[:n], axis=(1, 2))
         numbers = [f[0] for f in frames]
-        ctx = ClipContext(thermal, filtered, [], frame_numbers=numbers)
+        ctx = ClipContext(thermal, filtered, [], frame_numbers=numbers,
+                          medians=medians)
         ctx.background = np.asarray(
             self.motion_detector.background, np.float32
         )
