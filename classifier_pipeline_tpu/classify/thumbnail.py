@@ -17,6 +17,8 @@ from collections import namedtuple
 
 import numpy as np
 
+from classifier_pipeline_tpu.utils.tools import get_ndimage
+
 Stat = namedtuple("Stat", "region contours median_diff")
 
 THUMBNAIL_SIZE = 64
@@ -35,7 +37,7 @@ def largest_boundary_length(mask: np.ndarray) -> int:
     one bincount instead of a per-label loop."""
     if mask.size == 0 or not mask.any():
         return 0
-    from scipy import ndimage
+    ndimage = get_ndimage()
 
     fg = mask > 0
     labels, n = ndimage.label(fg, structure=np.ones((3, 3)))

@@ -70,7 +70,9 @@ def _label8(mask: np.ndarray):
     """8-connected components, labels in raster order of first pixel
     (cv2.connectedComponentsWithStats order). Returns (n, labels, stats,
     centroids) like cv2: stats rows [x, y, w, h, area], row 0 = background."""
-    from scipy import ndimage
+    from classifier_pipeline_tpu.utils.tools import get_ndimage
+
+    ndimage = get_ndimage()
 
     lab, n = ndimage.label(mask > 0, structure=np.ones((3, 3), np.int32))
     # scipy labels in raster order of first pixel already; build stats
@@ -161,7 +163,9 @@ def remove_background_animals(
         # front; harmonic diffusion only sees the hole's immediate boundary,
         # which sits on the animal's residual hot rim. Dilating the hole by
         # the same radius puts the boundary on genuine background.
-        from scipy import ndimage
+        from classifier_pipeline_tpu.utils.tools import get_ndimage
+
+        ndimage = get_ndimage()
 
         hole = ndimage.binary_dilation(hole, np.ones((3, 3)), iterations=3)
         hole = hole.astype(np.uint8)

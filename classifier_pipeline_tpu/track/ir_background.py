@@ -116,7 +116,10 @@ class IRBackground:
         if fg is None:
             return False
         k = 10 if self.movement_detected else 15
-        from scipy import ndimage
+        from classifier_pipeline_tpu.utils.tools import get_ndimage
+
+        ndimage = get_ndimage()  # cached (per-frame `from scipy import
+        # ndimage` costs ~14 ms/call via scipy's lazy-submodule __getattr__)
 
         # cv2.erode(fg, ones((k,k))) on a 0/255 mask == minimum filter; cv2
         # pads erode with +inf (borders can't create zeros), scipy 'nearest'

@@ -8,6 +8,21 @@ from pathlib import Path
 
 import numpy as np
 
+_ndimage = None
+
+
+def get_ndimage():
+    """Deferred scipy.ndimage, cached: keeps scipy off the CLI startup path,
+    and avoids re-resolving it per call — ``from scipy import ndimage``
+    inside a hot function costs ~14 ms/call through scipy's lazy-submodule
+    __getattr__ (measured in the streaming replay profile)."""
+    global _ndimage
+    if _ndimage is None:
+        import scipy.ndimage
+
+        _ndimage = scipy.ndimage
+    return _ndimage
+
 
 def enable_compile_cache(path=None):
     """Point jax at a persistent compilation cache so CLI runs skip the
