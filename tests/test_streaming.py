@@ -87,6 +87,41 @@ def test_piclassify_replay(possum_cptv, thermal_config, tmp_path):
     pi.disconnected()
 
 
+def test_streaming_no_midstream_compiles(possum_cptv, thermal_config,
+                                         tmp_path_factory):
+    """The live loop must never wait on an XLA compile: the ring context
+    pads to capacity and the interpreter pads segment tensors to
+    streaming_caps, so every classify call after startup_classifier reuses
+    the programs compiled at init (a fresh compile is a multi-second stall
+    on a Pi-class core). Guarded by the fused jit's cache size staying
+    constant across a full replay."""
+    from classifier_pipeline_tpu.models.artifacts import create_model
+    from classifier_pipeline_tpu.pipeline.piclassifier import PiClassifier
+    from classifier_pipeline_tpu.pipeline.recorders import DummyRecorder
+
+    prefix = tmp_path_factory.mktemp("model") / "m"
+    create_model(prefix, model_name="simple-cnn")
+    config = Config({"classify": {"models": [
+        {"id": 1, "name": "t", "model_file": str(prefix) + ".json"}]}})
+    clip = load_cptv(possum_cptv)
+    headers = headers_of(clip)
+    recorder = DummyRecorder(thermal_config, headers)
+    pi = PiClassifier(config, thermal_config, headers, classify=True,
+                      detect_after=1, recorder=recorder, seed=3)
+    assert pi.classifier.streaming_caps is not None
+    fused = pi.classifier._fused_classify
+    cs0 = fused._cache_size()
+    assert cs0 >= 2  # startup warmed both clip_at_zero variants
+    for f in frames_of(clip):
+        pi.process_frame(f)
+    pi.disconnected()
+    assert pi.identify_time > 0  # the classify path actually ran
+    assert fused._cache_size() == cs0, (
+        "a classify shape escaped the streaming caps and recompiled "
+        "mid-stream"
+    )
+
+
 def test_throttler_tokens(thermal_config):
     from classifier_pipeline_tpu.pipeline.recorders import (
         DummyRecorder,
