@@ -200,15 +200,15 @@ class PiClassifier:
         self._ring = deque(maxlen=max(64, self.max_keep_frames + 14))
         self.output_dir = Path(thermal_config.recorder.output_dir)
         # Fix the streaming classify shapes and compile them NOW, with the
-        # tracker warmup, so no XLA compile ever stalls the live loop: F
-        # covers the largest predict window (fp predicts from the last 45
-        # frames, the full model from predict_from_last), T covers the
-        # frame ring, S is the one segment per cadence tick.
-        fcap = -(-max(45, self.predict_from_last) // 8) * 8
-        tcap = -(-self._ring.maxlen // 8) * 8
+        # tracker warmup, so no XLA compile ever stalls the live loop. Every
+        # classify (cadence predicts AND the end-of-clip pass) references
+        # only frames still in the ring, so the ring capacity bounds both
+        # the region axis and the track axis; S is the one segment per
+        # cadence tick.
+        cap8 = -(-self._ring.maxlen // 8) * 8
         for m in (self.classifier, self.fp_model):
             if m is not None and hasattr(m, "streaming_caps"):
-                m.streaming_caps = (fcap, tcap, 1)
+                m.streaming_caps = (cap8, cap8, 1)
         if self.classify:
             self.startup_classifier()
 
