@@ -191,9 +191,10 @@ class ClipContext:
     @property
     def thermal(self):
         if self._thermal_dev is None:
-            self._thermal_dev = jnp.asarray(
-                self._thermal_np.astype(np.float32)
-            )
+            # raw dtype on purpose: zero-copy alias on CPU (a host-side
+            # astype would copy the whole stack per call — 78 MB at IR
+            # resolution); the consuming jit programs cast in-program
+            self._thermal_dev = jnp.asarray(self._thermal_np)
         return self._thermal_dev
 
     @property
@@ -349,6 +350,7 @@ class FlaxInterpreter:
         def fused(variables, thermal, filtered, medians, reg_arr, valid,
                   track_regs, track_valid, seg_idx, features, clip_at_zero,
                   diff_norm):
+            thermal = thermal.astype(jnp.float32)  # accepts raw u16 stacks
             if diff_norm:
                 limits = preprocess_jax.filtered_limits_for_track(
                     filtered, track_regs, track_valid
@@ -646,7 +648,10 @@ class FlaxInterpreter:
             return
         F, T, S = self.streaming_caps
         sw2 = self.params.square_width ** 2
-        thermal = jnp.zeros((n_frames, h, w), jnp.float32)
+        # uint16: the streaming ring hands the jit its raw u16 thermal
+        # buffer (both thermal and IR runtimes store u16); warm that
+        # exact signature
+        thermal = jnp.zeros((n_frames, h, w), jnp.uint16)
         filtered = jnp.zeros((n_frames, h, w), jnp.float32)
         medians = jnp.zeros((n_frames,), jnp.float32)
         reg = np.zeros((F, 5), np.int32)

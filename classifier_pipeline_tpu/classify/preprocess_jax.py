@@ -148,6 +148,7 @@ def preprocess_track_frames(
     clip_at_zero=True,  # bool or traced bool
 ):
     """Produce per-region (frame_size, frame_size, 2) preprocessed tiles."""
+    thermal = thermal.astype(jnp.float32)  # accepts raw u16 stacks
 
     def one(reg, ok):
         fidx, x0, y0, w, h = reg[0], reg[1], reg[2], reg[3], reg[4]

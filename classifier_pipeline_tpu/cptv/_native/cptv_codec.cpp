@@ -1266,4 +1266,162 @@ long long delta_encode_u16(const uint16_t* th, long long B, long long T,
   return total_exc.load();
 }
 
+// -------------------------------------------------------- MOG2 (host) ----
+// cv2 BackgroundSubtractorMOG2 (Zivkovic) per-pixel update, mirroring
+// track/mog2_jax.py operation-for-operation (which is itself per-pixel
+// oracle-equal to cv2 — tests/test_ir_mog2_oracle.py). The jitted JAX
+// formulation costs ~1.7 s/frame at 640x480 on a weak host core (an
+// unfused ~100-op graph over 5 full planes per step); the reference's live
+// IR loop runs cv2's C++ at a few ms. This scalar pass restores that for
+// the IR streaming runtime. State arrays are numpy-owned (K,H,W) float32
+// + (H,W) int32, updated in place. Pixels are independent, so the row
+// striping changes scheduling only, never results.
+
+static const int MOG_K = 5;
+static const float MOG_TB = 0.9f;       // backgroundRatio
+static const float MOG_Tb = 16.0f;      // varThreshold
+static const float MOG_Tg = 9.0f;       // varThresholdGen
+static const float MOG_VAR_INIT = 15.0f;
+static const float MOG_VAR_MIN = 4.0f;
+static const float MOG_VAR_MAX = 75.0f;
+static const float MOG_CT = 0.05f;      // fCT
+
+static void mog2_rows(const uint8_t* frame, long long HW, long long p0,
+                      long long p1, float alphaT, float* weight, float* mean,
+                      float* var, int32_t* nmodes, uint8_t* mask_out) {
+  const float alpha1 = 1.0f - alphaT;
+  const float prune = -alphaT * MOG_CT;
+  for (long long p = p0; p < p1; p++) {
+    const float x = (float)frame[p];
+    float w[MOG_K], m[MOG_K], v[MOG_K];
+    for (int k = 0; k < MOG_K; k++) {
+      w[k] = weight[k * HW + p];
+      m[k] = mean[k * HW + p];
+      v[k] = var[k * HW + p];
+    }
+    const int nm = nmodes[p];
+    int fits = 0, background = 0, pruned = 0;
+    float total = 0.0f;
+    for (int k = 0; k < MOG_K; k++) {
+      // cv2 re-reads nmodes after in-loop prunes: a prune shrinks the
+      // active range, stranding one stale tail mode
+      const int active = k < nm - pruned;
+      float wk = alpha1 * w[k] + prune;
+      const float d = m[k] - x;
+      const float dist2 = d * d;
+      const int testable = active && !fits;
+      // FG/BG decision: cumulative post-update weight so far vs the
+      // PRE-update variance
+      if (testable && total < MOG_TB && dist2 < MOG_Tb * v[k])
+        background = 1;
+      const int fit_k = testable && (dist2 < MOG_Tg * v[k]);
+      if (fit_k) {
+        wk = wk + alphaT;
+        const float kfac = alphaT / (wk == 0.0f ? 1.0f : wk);
+        m[k] = m[k] - kfac * d;
+        float nv = v[k] + kfac * (dist2 - v[k]);
+        nv = nv < MOG_VAR_MIN ? MOG_VAR_MIN : nv;
+        v[k] = nv > MOG_VAR_MAX ? MOG_VAR_MAX : nv;
+        fits = 1;
+      }
+      if (active && wk < -prune) {
+        wk = 0.0f;
+        pruned++;
+      }
+      if (active) {
+        w[k] = wk;
+        total += wk;
+      }
+      if (fit_k) {
+        // bubble the matched mode toward slot 0 while weight >= the one
+        // above (modes above already hold their final weights)
+        for (int i = k; i > 0 && w[i] >= w[i - 1]; i--) {
+          float t;
+          t = w[i - 1]; w[i - 1] = w[i]; w[i] = t;
+          t = m[i - 1]; m[i - 1] = m[i]; m[i] = t;
+          t = v[i - 1]; v[i - 1] = v[i]; v[i] = t;
+        }
+      }
+    }
+    const int nm_after = nm - pruned;
+    const float inv_total = total > 0.0f ? 1.0f / total : 0.0f;
+    for (int k = 0; k < nm_after; k++) w[k] = w[k] * inv_total;
+    int nm_new = nm_after;
+    if (!fits && alphaT > 0.0f) {
+      const int slot = nm_after == MOG_K ? MOG_K - 1 : nm_after;
+      nm_new = nm_after + 1 < MOG_K ? nm_after + 1 : MOG_K;
+      const int single = nm_new == 1;
+      w[slot] = single ? 1.0f : alphaT;
+      m[slot] = x;
+      v[slot] = MOG_VAR_INIT;
+      if (!single) {
+        // cv2 renormalizes every OTHER in-range mode by alpha1 (the new
+        // mode sits at nm_new-1 and keeps weight == alphaT)
+        for (int k = 0; k < nm_new - 1; k++) w[k] = w[k] * alpha1;
+        // insert-sort the fresh mode upward (compares alphaT vs stored)
+        for (int i = slot; i > 0 && alphaT >= w[i - 1]; i--) {
+          float t;
+          t = w[i - 1]; w[i - 1] = w[i]; w[i] = t;
+          t = m[i - 1]; m[i - 1] = m[i]; m[i] = t;
+          t = v[i - 1]; v[i - 1] = v[i]; v[i] = t;
+        }
+      }
+    }
+    nmodes[p] = nm_new;
+    mask_out[p] = background ? 0 : 255;
+    for (int k = 0; k < MOG_K; k++) {
+      weight[k * HW + p] = w[k];
+      mean[k * HW + p] = m[k];
+      var[k * HW + p] = v[k];
+    }
+  }
+}
+
+extern "C" void mog2_update_u8(const uint8_t* frame, long long H, long long W,
+                               float alphaT, float* weight, float* mean,
+                               float* var, int32_t* nmodes,
+                               uint8_t* mask_out) {
+  const long long HW = H * W;
+  long long hwc = (long long)std::thread::hardware_concurrency();
+  long long n_threads =
+      std::max<long long>(1, std::min<long long>(8, (long long)(hwc ? hwc : 1)));
+  if (n_threads == 1 || HW < 1 << 15) {
+    mog2_rows(frame, HW, 0, HW, alphaT, weight, mean, var, nmodes, mask_out);
+    return;
+  }
+  std::vector<std::thread> threads;
+  const long long step = (HW + n_threads - 1) / n_threads;
+  for (long long t = 0; t < n_threads; t++) {
+    const long long p0 = t * step, p1 = std::min(HW, p0 + step);
+    if (p0 >= p1) break;
+    threads.emplace_back([=]() {
+      mog2_rows(frame, HW, p0, p1, alphaT, weight, mean, var, nmodes,
+                mask_out);
+    });
+  }
+  for (auto& th : threads) th.join();
+}
+
+extern "C" void mog2_background_u8(const float* weight, const float* mean,
+                                   const int32_t* nmodes, long long H,
+                                   long long W, uint8_t* out) {
+  const long long HW = H * W;
+  for (long long p = 0; p < HW; p++) {
+    float cum = 0.0f, wsum = 0.0f, msum = 0.0f;
+    const int nm = nmodes[p];
+    for (int k = 0; k < nm; k++) {
+      const float wk = weight[k * HW + p];
+      if (cum <= MOG_TB) {  // cumulative weight BEFORE this mode
+        wsum += wk;
+        msum += wk * mean[k * HW + p];
+      }
+      cum += wk;
+    }
+    float o = wsum > 0.0f ? msum / wsum : 0.0f;
+    o = rintf(o);  // round-half-even, as jnp.round / cv2 saturate_cast
+    o = o < 0.0f ? 0.0f : (o > 255.0f ? 255.0f : o);
+    out[p] = (uint8_t)o;
+  }
+}
+
 }  // extern "C"

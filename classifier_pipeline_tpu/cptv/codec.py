@@ -140,6 +140,18 @@ def _load_native():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
         ]
+    if hasattr(lib, "mog2_update_u8"):
+        lib.mog2_update_u8.restype = None
+        lib.mog2_update_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_longlong, ctypes.c_longlong,
+            ctypes.c_float, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+        ]
+        lib.mog2_background_u8.restype = None
+        lib.mog2_background_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_longlong, ctypes.c_longlong, ctypes.c_void_p,
+        ]
     if hasattr(lib, "pack4_count_i8"):
         lib.pack4_count_i8.restype = ctypes.c_longlong
         lib.pack4_count_i8.argtypes = [ctypes.c_void_p, ctypes.c_longlong]
@@ -165,6 +177,33 @@ def nl_means_u8_host(img):
     out = np.empty(img.shape, np.int32)
     lib.nl_means_u8(img.ctypes.data, img.shape[0], img.shape[1], out.ctypes.data)
     return out
+
+
+def mog2_update_u8_host(frame, alphaT, weight, mean, var, nmodes, mask_out):
+    """Native cv2-order MOG2 step (see _native mog2_update_u8) for the IR
+    streaming runtime. All state arrays are modified in place; returns False
+    when the native lib is unavailable."""
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "mog2_update_u8"):
+        return False
+    lib.mog2_update_u8(
+        frame.ctypes.data, frame.shape[0], frame.shape[1],
+        ctypes.c_float(float(alphaT)), weight.ctypes.data, mean.ctypes.data,
+        var.ctypes.data, nmodes.ctypes.data, mask_out.ctypes.data,
+    )
+    return True
+
+
+def mog2_background_u8_host(weight, mean, nmodes, out):
+    lib = _load_native()
+    if lib is None or not hasattr(lib, "mog2_background_u8"):
+        return False
+    H, W = nmodes.shape
+    lib.mog2_background_u8(
+        weight.ctypes.data, mean.ctypes.data, nmodes.ctypes.data, H, W,
+        out.ctypes.data,
+    )
+    return True
 
 
 def delta_encode_u16(th, cap: int = 1 << 20):

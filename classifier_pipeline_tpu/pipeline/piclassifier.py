@@ -196,8 +196,23 @@ class PiClassifier:
             headers=headers,
             labels=self.classifier.labels if self.classifier else [],
         )
-        # frame ring for classification (thermal + filtered + numbers)
-        self._ring = deque(maxlen=max(64, self.max_keep_frames + 14))
+        # Frame ring for classification: persistent circular buffers, not a
+        # deque of per-frame arrays. The classify context hands these VERY
+        # buffers to the jitted programs (zero-copy on CPU), so building a
+        # context costs nothing per call — the old stack-and-pad rebuilt
+        # ~160 MB per cadence tick at IR resolution. Slot order is ring
+        # order, not chronological; ClipContext maps frame_number -> row,
+        # and nothing downstream assumes sorted rows.
+        self._ring_cap = max(64, self.max_keep_frames + 14)
+        self._buf_thermal = np.zeros(
+            (self._ring_cap, headers.res_y, headers.res_x), np.uint16
+        )
+        self._buf_filtered = np.zeros(
+            (self._ring_cap, headers.res_y, headers.res_x), np.float32
+        )
+        self._buf_medians = np.zeros((self._ring_cap,), np.float32)
+        self._buf_frames = [None] * self._ring_cap
+        self._ring_len = 0
         self.output_dir = Path(thermal_config.recorder.output_dir)
         # Fix the streaming classify shapes and compile them NOW, with the
         # tracker warmup, so no XLA compile ever stalls the live loop. Every
@@ -205,7 +220,7 @@ class PiClassifier:
         # only frames still in the ring, so the ring capacity bounds both
         # the region axis and the track axis; S is the one segment per
         # cadence tick.
-        cap8 = -(-self._ring.maxlen // 8) * 8
+        cap8 = -(-self._ring_cap // 8) * 8
         for m in (self.classifier, self.fp_model):
             if m is not None and hasattr(m, "streaming_caps"):
                 m.streaming_caps = (cap8, cap8, 1)
@@ -224,10 +239,10 @@ class PiClassifier:
         self.classifier.predict(np.zeros((1, *in_shape[1:]), np.float32))
         # compile the fused streaming predict programs at their fixed
         # shapes (see interpreter.warmup_streaming)
-        cap = self._ring.maxlen
         for m in (self.classifier, self.fp_model):
             if m is not None and hasattr(m, "warmup_streaming"):
-                m.warmup_streaming(cap, self.headers.res_y, self.headers.res_x)
+                m.warmup_streaming(self._ring_cap, self.headers.res_y,
+                                   self.headers.res_x)
 
     def _bg_rational(self):
         avg = self.motion_detector._background.average
@@ -243,27 +258,24 @@ class PiClassifier:
 
         return is_affected_by_ffc(frame)
 
+    def _ring_append(self, t_idx, thermal_u16, filtered_f32):
+        slot = self._ring_len % self._ring_cap
+        self._buf_thermal[slot] = thermal_u16
+        self._buf_filtered[slot] = filtered_f32
+        self._buf_medians[slot] = np.median(self._buf_thermal[slot])
+        self._buf_frames[slot] = int(t_idx)
+        self._ring_len += 1
+
     def _clip_context(self):
-        if not self._ring:
+        if self._ring_len == 0:
             return None
-        frames = list(self._ring)
-        n = len(frames)
-        # pad the stacks to the ring CAPACITY: the jitted classify programs
-        # then see one fixed frame-axis length for the whole stream instead
-        # of a new shape (= a new XLA compile, ~seconds of stall) every time
-        # the ring grows. Padded rows are never referenced — region tensors
-        # index real frames only (frame_numbers covers just the live rows).
-        cap = self._ring.maxlen
-        thermal = np.zeros((cap,) + frames[0][1].shape, frames[0][1].dtype)
-        filtered = np.zeros((cap,) + frames[0][2].shape, frames[0][2].dtype)
-        for i, f in enumerate(frames):
-            thermal[i] = f[1]
-            filtered[i] = f[2]
-        medians = np.zeros((cap,), np.float32)
-        medians[:n] = np.median(thermal[:n], axis=(1, 2))
-        numbers = [f[0] for f in frames]
-        ctx = ClipContext(thermal, filtered, [], frame_numbers=numbers,
-                          medians=medians)
+        # hand the persistent ring buffers to the context directly: fixed
+        # capacity shape for jit (no per-call pad or copy); unfilled slots
+        # carry unique negative sentinels so nothing can look them up
+        numbers = [fn if fn is not None else -(s + 1)
+                   for s, fn in enumerate(self._buf_frames)]
+        ctx = ClipContext(self._buf_thermal, self._buf_filtered, [],
+                          frame_numbers=numbers, medians=self._buf_medians)
         ctx.background = np.asarray(
             self.motion_detector.background, np.float32
         )
@@ -273,7 +285,8 @@ class PiClassifier:
 
     def new_clip(self, preview_frames, received_at):
         self.tracker.start_clip()
-        self._ring.clear()
+        self._ring_len = 0
+        self._buf_frames = [None] * self._ring_cap
         self.next_classify_frame = 0
         self.next_fp_classification_frame = 0
         for p in self.predictions.values():
@@ -297,10 +310,7 @@ class PiClassifier:
             mask = self.motion_detector._background.compute_filtered(gray)
             new_tracks, rows = self.tracker.process_frame(gray, mask)
             t_idx = self.tracker.current_frame
-            self._ring.append(
-                (t_idx, gray.astype(np.uint16),
-                 np.asarray(mask, np.float32))
-            )
+            self._ring_append(t_idx, gray, mask)
         else:
             bg = self.motion_detector.background
             num, den = self._bg_rational()
@@ -308,10 +318,7 @@ class PiClassifier:
                 frame.pix, bg, num, den, self._ffc(frame)
             )
             t_idx = self.tracker.current_frame
-            self._ring.append(
-                (t_idx, np.asarray(frame.pix, np.uint16),
-                 np.asarray(rows.filtered))
-            )
+            self._ring_append(t_idx, frame.pix, rows.filtered)
             self._update_thumbnails(frame, rows, t_idx)
         for t in new_tracks:
             t.received_at = received_at
