@@ -52,13 +52,21 @@ def replay_file(args, config, thermal_config):
     target_dt = 1.0 / args.fps if args.fps else 0
     n = 0
     start = time.time()
+    from datetime import timedelta
+
     for frame in clip.frames():
         if frame.background_frame:
+            # reference piclassify.py:380-382: the clip's background frame
+            # seeds the motion-detector background and is NOT processed
+            pi.motion_detector.seed_background(np.asarray(frame.pix))
             continue
+        # the reference replay wraps telemetry times as timedeltas
+        # (piclassify.py:369-376), selecting the timedelta branch of the
+        # FFC check — replay parity requires the same
         cf = CameraFrame(
             pix=np.asarray(frame.pix),
-            time_on=frame.time_on,
-            last_ffc_time=frame.last_ffc_time,
+            time_on=timedelta(milliseconds=int(frame.time_on)),
+            last_ffc_time=timedelta(milliseconds=int(frame.last_ffc_time)),
             temp_c=frame.temp_c,
             last_ffc_temp_c=frame.last_ffc_temp_c,
         )

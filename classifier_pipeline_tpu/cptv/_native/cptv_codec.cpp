@@ -1021,19 +1021,28 @@ int cptv_writer_close(void* h) {
 }
 
 // ------------------------------------------------------- NL-means (host) ----
-// cv2.fastNlMeansDenoising(u8, h=3)-equivalent for the host/CPU streaming
+// cv2.fastNlMeansDenoising(u8, h=3) BIT-EXACT for the host/CPU streaming
 // path (pipeline/streamtracker.py): the XLA formulation costs ~200ms/frame
-// on a weak host CPU, two orders over the 9 fps real-time budget. Same math
-// as ops/imageops.nl_means_denoise_u8: REFLECT_101 padding, 7x7 patch
-// box-sums (exact in int32), w = expf(-boxsum/(h^2*49)), f64 num/den
-// accumulation, round-half-up. Matches cv2 exactly on realistic thermal
-// contrast; on degenerate near-flat frames all float implementations
-// (this, XLA, Pallas) sit within +-1 gray level of cv2's fixed-point LUT
-// (covered by tests/test_imageops.py::test_native_nlmeans_vs_cv2_oracle).
-// The fixed 8-stripe partition + ordered merge makes results identical on
-// any machine / core count.
+// on a weak host CPU, two orders over the 9 fps real-time budget.
+// cv2's fast path is FIXED-POINT (fast_nlmeans_denoising_invoker.hpp,
+// constants re-derived empirically against the cv2 oracle in this env):
+//   fpm   = INT_MAX / (21*21*255) = 19096            (fixed_point_mult)
+//   idx   = boxsum >> 6                               (49 -> 64 bin shift)
+//   w     = round(fpm * exp(-idx*(64/49)/(h*h)))      (double, h = 3)
+//   w     = 0 when w < 0.001*fpm (WEIGHT_THRESHOLD)   => idx >= 48 is 0
+//   out   = (sum(w*v) + sum(w)/2) / sum(w)            (integer division)
+// boxsum is the exact int32 7x7 patch distance (REFLECT_101 padding).
+// Integer num/den accumulation is order-independent, so results are
+// identical on any machine / core count (the 8-stripe partition remains
+// for cache locality only). Verified bit-equal to cv2 on impulse sweeps,
+// random families, and real streaming frames
+// (tests/test_imageops.py::test_native_nlmeans_vs_cv2_oracle).
 
 static const int NLM_TPL = 7, NLM_SEARCH = 21;
+static const int32_t NLM_FPM = 2147483647 / (NLM_SEARCH * NLM_SEARCH * 255);
+// nonzero weights only for idx = boxsum>>6 in [0, 48): boxsum < 3072
+static const int NLM_LUT_N = 48;
+static const int NLM_BOX_MAX = NLM_LUT_N << 6;  // 3072
 
 long long nl_means_u8(const uint8_t* img, long long Hn, long long Wn,
                       int32_t* out) {
@@ -1041,13 +1050,13 @@ long long nl_means_u8(const uint8_t* img, long long Hn, long long Wn,
   const int H = (int)Hn, W = (int)Wn;
   const int Hp = H + 2 * p, Wp = W + 2 * p;
   const int Hb = H + 2 * ts, Wb = W + 2 * ts;
-  // weight LUT: boxsum <= 49*255^2 ~ 3.19e6 but expf underflows ~ -88
-  // => boxsum > 441*88 ~ 38809 gives w = 0
-  static const int LUT_MAX = 38810;
-  static const std::vector<float>& lut = *[] {
-    auto* t = new std::vector<float>(LUT_MAX + 1);
-    const float inv = -1.0f / (3.0f * 3.0f * NLM_TPL * NLM_TPL);
-    for (int s = 0; s <= LUT_MAX; s++) (*t)[s] = expf(inv * (float)s);
+  static const std::vector<int32_t>& lut = *[] {
+    auto* t = new std::vector<int32_t>(NLM_LUT_N);
+    const double mult = 64.0 / (NLM_TPL * NLM_TPL);
+    for (int i = 0; i < NLM_LUT_N; i++) {
+      int32_t w = (int32_t)llround(NLM_FPM * exp(-(i * mult) / (3.0 * 3.0)));
+      (*t)[i] = (double)w < 0.001 * NLM_FPM ? 0 : w;
+    }
     return t;
   }();  // C++11 static init: thread-safe
   // REFLECT_101 pad (iterated: pads wider than the frame, as in the tiny
@@ -1066,12 +1075,12 @@ long long nl_means_u8(const uint8_t* img, long long Hn, long long Wn,
     int32_t* prow = pad.data() + (size_t)y * Wp;
     for (int x = 0; x < Wp; x++) prow[x] = row[refl(x - p, W)];
   }
-  std::vector<double> num((size_t)H * W, 0.0), den((size_t)H * W, 0.0);
+  std::vector<int64_t> num((size_t)H * W, 0), den((size_t)H * W, 0);
   // Symmetric weight reuse: the patch distance is sign-symmetric in the
   // offset — boxsum_o(x) = boxsum_{-o}(x+o) with bit-identical int32 sums —
   // so only offsets with dy >= 0 (and dx > 0 when dy == 0) are computed,
   // each weight plane feeding BOTH the +o tap at x and the -o tap at x-o.
-  // The centre offset (w == 1 exactly) is applied after the merge.
+  // The centre offset (w == NLM_FPM, dist 0) is applied after the merge.
   struct Pair {
     int v, u;
   };
@@ -1082,7 +1091,7 @@ long long nl_means_u8(const uint8_t* img, long long Hn, long long Wn,
   // fixed pair->stripe partition + ordered merge => identical float results
   // on any machine / core count (only parallelism varies, not arithmetic)
   const long long n_stripes = 8;
-  std::vector<std::vector<double>> pnum(n_stripes), pden(n_stripes);
+  std::vector<std::vector<int64_t>> pnum(n_stripes), pden(n_stripes);
   long long hwc = (long long)std::thread::hardware_concurrency();
   long long n_threads = std::max<long long>(
       1, std::min<long long>(n_stripes, (long long)(hwc ? hwc : 1)));
@@ -1099,21 +1108,21 @@ long long nl_means_u8(const uint8_t* img, long long Hn, long long Wn,
       // loop vectorizes across x
       std::vector<int32_t> d2v((size_t)(Hb_ + hs2) * (Wb_ + hs2)),
           vsumv((size_t)(H_ + hs2) * (Wb_ + hs2)), hsumv(W_ + hs2);
-      std::vector<float> wbufv((size_t)(H_ + hs2) * (W_ + hs2));
-      std::vector<double> lnumv((size_t)H_ * W_, 0.0),
-          ldenv((size_t)H_ * W_, 0.0);
+      std::vector<int32_t> wbufv((size_t)(H_ + hs2) * (W_ + hs2));
+      std::vector<int64_t> lnumv((size_t)H_ * W_, 0),
+          ldenv((size_t)H_ * W_, 0);
       int32_t* __restrict__ d2 = d2v.data();
       int32_t* __restrict__ vsum = vsumv.data();
       int32_t* __restrict__ hsum = hsumv.data();
-      float* __restrict__ wbuf = wbufv.data();
-      double* __restrict__ lnum = lnumv.data();
-      double* __restrict__ lden = ldenv.data();
+      int32_t* __restrict__ wbuf = wbufv.data();
+      int64_t* __restrict__ lnum = lnumv.data();
+      int64_t* __restrict__ lden = ldenv.data();
       const int32_t* __restrict__ padp = pad.data();
-      const float* __restrict__ lutp = lut.data();
+      const int32_t* __restrict__ lutp = lut.data();
       long long stripe;
       while ((stripe = next_stripe.fetch_add(1)) < n_stripes) {
-      std::fill(lnumv.begin(), lnumv.end(), 0.0);
-      std::fill(ldenv.begin(), ldenv.end(), 0.0);
+      std::fill(lnumv.begin(), lnumv.end(), (int64_t)0);
+      std::fill(ldenv.begin(), ldenv.end(), (int64_t)0);
       for (size_t pi = (size_t)stripe; pi < pairs.size();
            pi += (size_t)n_stripes) {
         const int v = pairs[pi].v, u = pairs[pi].u;
@@ -1156,27 +1165,26 @@ long long nl_means_u8(const uint8_t* img, long long Hn, long long Wn,
         // weight plane (~1.15*H*W gathers per pair vs 2*H*W before)
         for (int y = 0; y < CBH; y++) {
           const int32_t* __restrict__ vr = vsum + (size_t)y * CE;
-          float* __restrict__ wr = wbuf + (size_t)y * CBW;
+          int32_t* __restrict__ wr = wbuf + (size_t)y * CBW;
           for (int x = 0; x < CBW; x++)
             hsum[x] = vr[x] + vr[x + 1] + vr[x + 2] + vr[x + 3] + vr[x + 4] +
                       vr[x + 5] + vr[x + 6];
           for (int x = 0; x < CBW; x++)
-            wr[x] = hsum[x] <= LUT_MAX ? lutp[hsum[x]] : 0.0f;
+            wr[x] = hsum[x] < NLM_BOX_MAX ? lutp[hsum[x] >> 6] : 0;
         }
         // accumulate both taps (contiguous vector loads, no gathers)
         for (int y = 0; y < H_; y++) {
-          const float* __restrict__ wp = wbuf + (size_t)(y + v) * CBW + cu;
-          const float* __restrict__ wm = wbuf + (size_t)y * CBW + cm;
+          const int32_t* __restrict__ wp = wbuf + (size_t)(y + v) * CBW + cu;
+          const int32_t* __restrict__ wm = wbuf + (size_t)y * CBW + cm;
           const int32_t* __restrict__ cp =
               padp + (size_t)(y + v + hs2 + ts_) * Wp_ + (hs2 + u + ts_);
           const int32_t* __restrict__ cmv =
               padp + (size_t)(y - v + hs2 + ts_) * Wp_ + (hs2 - u + ts_);
-          double* __restrict__ ln = lnum + (size_t)y * W_;
-          double* __restrict__ ld = lden + (size_t)y * W_;
+          int64_t* __restrict__ ln = lnum + (size_t)y * W_;
+          int64_t* __restrict__ ld = lden + (size_t)y * W_;
           for (int x = 0; x < W_; x++) {
-            ln[x] += (double)wp[x] * (double)cp[x] +
-                     (double)wm[x] * (double)cmv[x];
-            ld[x] += (double)wp[x] + (double)wm[x];
+            ln[x] += (int64_t)wp[x] * cp[x] + (int64_t)wm[x] * cmv[x];
+            ld[x] += (int64_t)wp[x] + wm[x];
           }
         }
       }
@@ -1193,17 +1201,18 @@ long long nl_means_u8(const uint8_t* img, long long Hn, long long Wn,
       den[i] += pden[s][i];
     }
   }
-  // centre offset: w == expf(0) == 1 exactly
+  // centre offset: dist 0 => w == NLM_FPM exactly
   for (int y = 0; y < H; y++) {
     const int32_t* __restrict__ c0 = pad.data() + (size_t)(y + p) * Wp + p;
     for (int x = 0; x < W; x++) {
-      num[(size_t)y * W + x] += (double)c0[x];
-      den[(size_t)y * W + x] += 1.0;
+      num[(size_t)y * W + x] += (int64_t)NLM_FPM * c0[x];
+      den[(size_t)y * W + x] += NLM_FPM;
     }
   }
+  // cv2: estimation = (sum(w*v) + weights_sum/2) / weights_sum
   for (size_t i = 0; i < (size_t)H * W; i++) {
-    double v = num[i] / den[i] + 0.5;
-    out[i] = (int32_t)(v < 0 ? 0 : (v > 255 ? 255 : v));
+    int64_t v = (num[i] + den[i] / 2) / den[i];
+    out[i] = (int32_t)(v > 255 ? 255 : v);
   }
   return 0;
 }

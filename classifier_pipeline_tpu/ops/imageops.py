@@ -92,16 +92,45 @@ def normalize_minmax(data: jax.Array, new_max: float = 255.0):
     return normed, mn, mx, ~flat_zero
 
 
+def nlm_weight_lut(
+    h: float = 3.0, template: int = 7, search: int = 21
+) -> np.ndarray:
+    """cv2.fastNlMeansDenoising's fixed-point weight LUT, computed exactly
+    as its invoker does (constants re-derived empirically against the cv2
+    oracle — see cptv/_native/cptv_codec.cpp nl_means_u8 for the scheme):
+    fpm = INT_MAX/(search^2*255); index = boxsum >> 6 (49 -> 64 bin shift);
+    w = round(fpm*exp(-idx*(64/49)/h^2)), zeroed under 0.001*fpm. Only the
+    first 48 indices are nonzero for h=3 — returned LUT has that length
+    (callers treat idx >= len as weight 0)."""
+    fpm = (2**31 - 1) // (search * search * 255)
+    tpl_sq = template * template
+    bin_shift = 0
+    while (1 << bin_shift) < tpl_sq:
+        bin_shift += 1
+    mult = float(1 << bin_shift) / tpl_sq
+    n = 1
+    while True:
+        w = np.rint(fpm * np.exp(-(n * mult) / (h * h)))
+        if w < 0.001 * fpm:
+            break
+        n += 1
+    idx = np.arange(n, dtype=np.float64)
+    lut = np.rint(fpm * np.exp(-(idx * mult) / (h * h))).astype(np.int32)
+    lut[lut < 0.001 * fpm] = 0
+    return lut
+
+
 def nl_means_denoise_u8(
     img: jax.Array, h: float = 3.0, template: int = 7, search: int = 21
 ) -> jax.Array:
-    """cv2.fastNlMeansDenoising(u8, h=3) numerical match (<~1.5 gray levels).
+    """cv2.fastNlMeansDenoising(u8, h=3) BIT-EXACT (fixed-point scheme,
+    see nlm_weight_lut).
 
     Classic NL-means: per-pixel weighted average over a (search x search)
-    window, weight exp(-mean_patch_sq_dist / h^2) over (template x template)
-    patches. Implemented as a batched shift + box-filter so XLA lowers it to
-    a handful of fused elementwise ops + reductions (no gather).
-    """
+    window, integer weight LUT over the (template x template) patch
+    distance. Implemented as a batched shift + box-filter; the patch sums
+    are exact in f32 (<= 49*255^2 < 2^24), weights/accumulation are exact
+    int32 (cv2 sized fixed_point_mult so the num sum fits int32)."""
     H, W = img.shape
     hs, ts = search // 2, template // 2
     p = hs + ts
@@ -111,13 +140,13 @@ def nl_means_denoise_u8(
     Hp, Wp = H + 2 * ts, W + 2 * ts
     base = xpad[hs : hs + Hp, hs : hs + Wp]
 
-    inv_h2 = 1.0 / (h * h)
-    patch_area = float(template * template)
+    lut_np = nlm_weight_lut(h, template, search)
+    lut = jnp.asarray(lut_np)
 
     # All search offsets at once: (S*S, Hp, Wp) shifted views. XLA turns the
     # static strided slices into one big fused elementwise computation — on
-    # TPU this is VPU-bound with zero gathers; the box filter is a separable
-    # running-sum over the batch.
+    # TPU this is VPU-bound; the box filter is a separable running-sum over
+    # the batch.
     shifted = jnp.stack(
         [
             jax.lax.slice(xpad, (dy, dx), (dy + Hp, dx + Wp))
@@ -135,12 +164,17 @@ def nl_means_denoise_u8(
         [c[:, :, 2 * ts : 2 * ts + 1], c[:, :, 2 * ts + 1 :] - c[:, :, : -2 * ts - 1]],
         axis=2,
     )
-    w = jnp.exp(c * (-inv_h2 / patch_area))
-    centers = shifted[:, ts : ts + H, ts : ts + W]
+    # boxsum exact in f32; quantize to the LUT index (>> 6 == floor/64)
+    idx = jnp.floor(c * (1.0 / 64.0)).astype(jnp.int32)
+    w = jnp.where(
+        idx < lut_np.shape[0], jnp.take(lut, jnp.clip(idx, 0, lut_np.shape[0] - 1)), 0
+    )
+    centers = shifted[:, ts : ts + H, ts : ts + W].astype(jnp.int32)
     num = jnp.sum(w * centers, axis=0)
     den = jnp.sum(w, axis=0)
-    out = num / den
-    return jnp.clip(out + 0.5, 0, 255).astype(jnp.int32)  # round-half-up like cv2
+    # cv2: (estimation + weights_sum/2) / weights_sum, integer division
+    out = (num + den // 2) // den
+    return jnp.clip(out, 0, 255).astype(jnp.int32)
 
 
 class ComponentStats(NamedTuple):

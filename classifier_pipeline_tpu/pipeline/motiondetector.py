@@ -287,6 +287,13 @@ class CPTVMotionDetector:
             self.thermal_window.size * 2 if detect_after is None else detect_after
         )
 
+    def seed_background(self, pix):
+        """Replay-mode background seeding (reference piclassify.py:380-382):
+        the clip's raw background frame REPLACES the weighted-background
+        array outright — including its dtype, so subsequent in-place
+        updates truncate to uint16 exactly as the reference replay does."""
+        self._background._background = pix
+
     @property
     def calibrating(self):
         return self.ffc_affected

@@ -633,10 +633,51 @@ class PiClassifier:
         self.tracker.active_slots = set()
         self.tracker.carry = None
 
+    def _filter_tracks_for_metadata(self):
+        """End-of-recording track filtering (reference on_recording_stopping
+        calls apply_track_filtering — piclassifier.py:1183,
+        cliptracker.py:85-91): trim + the same filter rules the batch
+        extractor applies; only surviving tracks reach the metadata."""
+        from classifier_pipeline_tpu.pipeline.extractor import (
+            threshold_for_model,
+        )
+        from classifier_pipeline_tpu.track import postprocess
+
+        tracks = self.tracker.all_tracks()
+        if self.type == "IR":
+            # reference IRTrackExtractor filter knobs (pipeline/ir_extractor)
+            filter_cfg = {
+                "track_min_delta": 1.0,
+                "track_max_delta": 150,
+                "track_min_offset": 20,
+                "min_duration_secs": 0,
+            }
+        else:
+            th = threshold_for_model(self.headers.model)
+            filter_cfg = dict(
+                track_min_delta=th["track_min_delta"],
+                track_max_delta=th["track_max_delta"],
+            )
+            tracking = (
+                self.config.get("tracking", {}).get("thermal", {})
+                if self.config else {}
+            )
+            for k in ("max_tracks", "min_moving_frames", "max_blank_percent",
+                      "max_jitter"):
+                if tracking.get(k) is not None:
+                    filter_cfg[k] = tracking[k]
+            filter_cfg.update(tracking.get("filters", {}) or {})
+            if self.config:
+                filter_cfg.update(self.config.get("filters", {}))
+        good, _ = postprocess.filter_tracks(
+            tracks, self.tracker_params, filter_cfg
+        )
+        return sorted(good, key=lambda t: t.track_id)
+
     def on_recording_stopping(self, filename):
         """Write metadata sidecar (reference on_recording_stopping:1171-1242)."""
         meta = {"tracks": []}
-        for track in self.tracker.all_tracks():
+        for track in self._filter_tracks_for_metadata():
             info = track.get_metadata()
             thumb = getattr(track, "thumb_stat", None)
             if thumb is not None:

@@ -100,13 +100,11 @@ def test_nl_means_close_to_cv2(possum_cptv):
         u8 = (255 * (filt - mn) / (mx - mn)).astype(np.uint8)
         ref = cv2.fastNlMeansDenoising(u8, None).astype(np.int32)
         mine = np.asarray(ops.nl_means_denoise_u8(jnp.asarray(u8, jnp.int32)))
-        diff = np.abs(mine - ref)
-        worst = max(worst, diff.max())
-        # cv2's "fast" NL-means quantizes distances through a LUT; we compute
-        # the exact formula, so allow ~1 gray level mean drift. Track-level
-        # parity (test_tracking_parity) is the real gate.
-        assert diff.mean() < 1.0
-    assert worst <= 10
+        # the XLA path implements cv2's fixed-point scheme exactly
+        # (imageops.nlm_weight_lut); no float envelope remains
+        np.testing.assert_array_equal(mine, ref)
+        worst = max(worst, np.abs(mine - ref).max())
+    assert worst == 0
 
 
 def test_detect_objects_pipeline(possum_cptv):
@@ -225,11 +223,12 @@ def test_fused_delta_upload_bit_exact(pack4):
 
 
 def test_native_nlmeans_vs_cv2_oracle():
-    """Native C NL-means (the CPU streaming path) against the cv2 reference,
-    including the low-contrast regimes where float implementations can drift:
-    exact on normal scenes, within 1 gray level on degenerate flat frames
-    (cv2's fixed-point LUT rounds differently there for ANY float impl —
-    the XLA fallback shows the same +-1 envelope)."""
+    """Native C NL-means (the CPU streaming path) against the cv2 reference:
+    BIT-EXACT in every regime. The C kernel replicates cv2's fixed-point
+    scheme (19096 fixed-point mult, boxsum>>6 LUT quantization, 0.001
+    weight cutoff, integer rounding division — constants re-derived
+    empirically against this very oracle), so there is no float envelope
+    anymore; low-contrast/sparse frames that used to drift +-1 now match."""
     import numpy as np
     import pytest
 
@@ -239,17 +238,25 @@ def test_native_nlmeans_vs_cv2_oracle():
     if nl_means_u8_host(np.zeros((8, 8), np.uint8)) is None:
         pytest.skip("native lib unavailable")
     rng = np.random.default_rng(1)
-    # realistic thermal contrast: must match cv2 exactly
+    cases = []
+    # realistic thermal contrast
     for _ in range(3):
-        img = np.clip(rng.normal(80, 40, (120, 160)), 0, 255).astype(np.uint8)
+        cases.append(
+            np.clip(rng.normal(80, 40, (120, 160)), 0, 255).astype(np.uint8)
+        )
+    # low-contrast degenerate frames (old float kernels drifted here)
+    for amp in (1, 2, 4, 16):
+        cases.append((120 + rng.integers(0, amp + 1, (120, 160))).astype(np.uint8))
+    # sparse low-intensity (the streaming-possum regime that exposed the
+    # float drift as +-1 mass diffs) and impulse weight-cutoff probes
+    cases.append(rng.integers(0, 30, (120, 160)).astype(np.uint8))
+    for a in (40, 56, 63, 255):
+        img = np.zeros((60, 60), np.uint8)
+        img[30, 30] = a
+        cases.append(img)
+    for img in cases:
         want = cv2.fastNlMeansDenoising(img, None).astype(np.int32)
         np.testing.assert_array_equal(nl_means_u8_host(img), want)
-    # low-contrast degenerate frames: within 1 gray level of cv2
-    for amp in (1, 2, 4, 16):
-        img = (120 + rng.integers(0, amp + 1, (120, 160))).astype(np.uint8)
-        want = cv2.fastNlMeansDenoising(img, None).astype(np.int32)
-        got = nl_means_u8_host(img)
-        assert np.abs(got - want).max() <= 1
 
 
 def test_pallas_packed_nlmeans_interpret_parity():

@@ -81,10 +81,19 @@ def test_piclassify_replay(possum_cptv, thermal_config, tmp_path):
     )
     for f in frames_of(clip):
         pi.process_frame(f)
-    # recording must have started and produced tracks
+    # recording must have started and its metadata sidecar must carry at
+    # least one surviving track (tracker state is cleared at clip end, so
+    # assert on the written artifact; the exact-boxes gate is
+    # tests/test_streaming_golden.py)
     assert recorder.frames > 0
-    assert len(pi.tracker.tracks) >= 1 or pi.tracker.carry is None
     pi.disconnected()
+    import json
+    from pathlib import Path
+
+    metas = sorted(Path(thermal_config.recorder.output_dir).rglob("*.txt"))
+    assert metas, "no recording metadata written"
+    tracks = json.loads(metas[0].read_text())["tracks"]
+    assert len(tracks) >= 1
 
 
 def test_streaming_no_midstream_compiles(possum_cptv, thermal_config,

@@ -47,6 +47,9 @@ def install_shims():
     from zoneinfo import ZoneInfo
 
     pytz.timezone = lambda name: ZoneInfo(name)
+    # pandas probes pytz.__version__ at import; without one its own import
+    # fails half-way (which then poisons every later pandas import)
+    pytz.__version__ = "2024.1"
     sys.modules.setdefault("pytz", pytz)
 
     import jax
