@@ -307,11 +307,18 @@ class FlaxInterpreter:
             # interpreter.py:569-583 consumes these): import its weights
             # into the matching Flax classifier, no tensorflow needed
             from classifier_pipeline_tpu.models.keras_import import (
+                FLAX_BN_EPS,
+                MODEL_BN_EPS,
                 import_keras_weights,
             )
 
             target = self._init_variables()
-            self.variables = import_keras_weights(target, self.model_file)
+            self.variables = import_keras_weights(
+                target, self.model_file,
+                flax_bn_eps=MODEL_BN_EPS.get(
+                    self.params.model_name, FLAX_BN_EPS
+                ),
+            )
         elif weights_file.exists():
             target = self._init_variables()
             self.variables = flax.serialization.from_bytes(

@@ -42,6 +42,11 @@ from pathlib import Path
 import numpy as np
 
 FLAX_BN_EPS = 1e-5  # flax.linen.BatchNorm default; the zoo never overrides it
+# Families whose flax twins override the BN epsilon (wr_resnet uses the
+# keras default 1e-3 so TRAIN-mode numerics match the reference exactly —
+# see wr_resnet.BasicBlock.bn_eps); the importer folds var by
+# (keras_eps - flax_eps), so it must know the target module's epsilon.
+MODEL_BN_EPS = {"wr-resnet": 1e-3}
 
 
 def _snake(name: str) -> str:
@@ -95,7 +100,7 @@ def _depthwise_to_flax(kernel):
     return kernel.transpose(0, 1, 3, 2)
 
 
-def _keras_entries(layers):
+def _keras_entries(layers, flax_bn_eps=FLAX_BN_EPS):
     """Normalize keras layers into ``(kind, cls, name, sub, tensors)``
     import entries, in config order."""
     entries = []
@@ -139,7 +144,7 @@ def _keras_entries(layers):
             # fold the epsilon difference into the running variance: exact
             # at inference (see module docstring)
             eps = float(cfg.get("epsilon", 1e-3))
-            e["var"] = w[i + 1] + np.float32(eps - FLAX_BN_EPS)
+            e["var"] = w[i + 1] + np.float32(eps - flax_bn_eps)
             entries.append(("bn", cls, name, 0, e))
         elif w:
             if cls in ("Normalization", "Rescaling"):
@@ -336,11 +341,14 @@ def _to_mutable(tree):
     return tree
 
 
-def import_keras_weights(variables, keras_path):
+def import_keras_weights(variables, keras_path, flax_bn_eps=FLAX_BN_EPS):
     """Return a new variables pytree with every conv/dense/bn weight
-    replaced by the matching weight from the .keras archive."""
+    replaced by the matching weight from the .keras archive.
+
+    flax_bn_eps: the BatchNorm epsilon the TARGET flax modules use (the
+    var fold is keras_eps - flax_bn_eps); see MODEL_BN_EPS."""
     keras_path = Path(keras_path)
-    kentries = _keras_entries(read_keras_layers(keras_path))
+    kentries = _keras_entries(read_keras_layers(keras_path), flax_bn_eps)
     params = _to_mutable(variables["params"])
     batch_stats = _to_mutable(variables.get("batch_stats", {}))
     fentries = _flax_entries(params, batch_stats)

@@ -29,12 +29,19 @@ class BasicBlock(nn.Module):
     stride: int = 1
     groups: int = 2
     dropout: float = 0.1
+    # keras BatchNormalization default epsilon (reference wr_resnet.py uses
+    # keras defaults); 1e-3 here makes TRAIN-mode batch normalization match
+    # the reference's training numerics exactly (tests/test_train_oracle.py).
+    # Inference from imported .keras weights is eps-exact either way: the
+    # importer folds any epsilon difference into the running variance.
+    bn_eps: float = 1e-3
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool):
         shortcut = x
-        y = nn.BatchNorm(use_running_average=not train, axis=-1, name="bn2a")(x)
+        y = nn.BatchNorm(use_running_average=not train, axis=-1,
+                         epsilon=self.bn_eps, name="bn2a")(x)
         y = nn.relu(y)
         y = nn.Conv(
             self.f1,
@@ -46,7 +53,8 @@ class BasicBlock(nn.Module):
             name="conv2a",
         )(y)
         y = nn.Dropout(self.dropout, deterministic=not train)(y)
-        y = nn.BatchNorm(use_running_average=not train, axis=-1, name="bn2b")(y)
+        y = nn.BatchNorm(use_running_average=not train, axis=-1,
+                         epsilon=self.bn_eps, name="bn2b")(y)
         y = nn.relu(y)
         y = nn.Conv(
             self.f2,
@@ -75,6 +83,7 @@ class WRResNet(nn.Module):
     depth: int = 22
     k: int = 4
     groups: int = 2
+    bn_eps: float = 1e-3  # keras default; see BasicBlock.bn_eps
     compute_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -101,10 +110,12 @@ class WRResNet(nn.Module):
                         f2=f,
                         stride=stage if d == 0 else 1,
                         groups=self.groups,
+                        bn_eps=self.bn_eps,
                         compute_dtype=self.compute_dtype,
                         name=f"res{stage + 1}b{d}",
                     )(x, train=train)
-        x = nn.BatchNorm(use_running_average=not train, axis=-1, name="final_bn")(x)
+        x = nn.BatchNorm(use_running_average=not train, axis=-1,
+                         epsilon=self.bn_eps, name="final_bn")(x)
         return nn.relu(x)
 
 

@@ -15,8 +15,13 @@ shift-doubling tree (8 shifted adds), and num/den accumulate into 8
 round-robin partials to break the 441-long serial add chain — all VPU work
 on VMEM-resident data.
 
-Numerics match ops.nl_means_denoise_u8 (same formula, same padding) up to
-float summation order.
+Numerics are BIT-EXACT with cv2.fastNlMeansDenoising (and so with
+ops.nl_means_denoise_u8 and the native C kernel): the weight is cv2's
+fixed-point law (boxsum>>6 LUT quantization, 19096 fixed-point mult, 0.001
+cutoff — see imageops.nlm_weight_lut), computed in-kernel as
+round(fpm*exp(-idx*c)) with the boundary-risky indices pinned by static
+selects (exact under any <=16-ulp exp), and num/den accumulate in int32 —
+order-independent, so every kernel variant produces identical bits.
 """
 
 from __future__ import annotations
@@ -35,6 +40,69 @@ SEARCH = 21
 _N_PARTIAL = 8  # round-robin accumulators: break the 441-long serial chain
 _DY_UNROLL = 3  # dy rows per fori iteration (Mosaic pipelines across rows)
 _V_UNROLL = 2   # v-rows per fori iteration in the symmetric kernel
+
+
+@functools.lru_cache(maxsize=None)
+def _lut_meta(h=H_PARAM, template=TEMPLATE, search=SEARCH):
+    """cv2 fixed-point weight-law constants for the in-kernel computation.
+
+    Returns (lut, fpm, bin_shift, c, risky): the exact int LUT (see
+    imageops.nlm_weight_lut), the fixed-point multiplier, the boxsum
+    quantization shift, the exp argument scale per LUT index, and the LUT
+    indices whose round(fpm*exp(-idx*c)) sits so close to a .5 boundary
+    that a <=16-ulp f32 exp could round the other way — the kernels patch
+    those few indices with static selects, making the weights exact under
+    ANY exp implementation within that error bound."""
+    from classifier_pipeline_tpu.ops.imageops import nlm_weight_lut
+
+    lut = nlm_weight_lut(h, template, search)
+    fpm = (2**31 - 1) // (search * search * 255)
+    tpl_sq = template * template
+    bin_shift = 0
+    while (1 << bin_shift) < tpl_sq:
+        bin_shift += 1
+    c = (float(1 << bin_shift) / tpl_sq) / (h * h)
+    idx = np.arange(len(lut), dtype=np.float64)
+    prod = fpm * np.exp(-idx * c)
+    margin = np.abs(prod - np.floor(prod) - 0.5)
+    tol = prod * (16 * 2.0**-24) + 2.0**-10
+    risky = tuple(int(k) for k in np.nonzero(margin < tol)[0])
+    return lut, fpm, bin_shift, c, risky
+
+
+def _w_exact(cb, h=H_PARAM, template=TEMPLATE, search=SEARCH):
+    """Exact cv2 fixed-point weight plane from an f32 boxsum plane.
+
+    cb holds exact integers (squared u8 diffs box-summed: <= 49*255^2 <
+    2^24, exact in f32 regardless of summation order). idx = floor(cb /
+    2^bin_shift) is exact; the weight is round(fpm * exp(-idx*c)) with the
+    boundary-risky indices pinned by static selects and the 0.001*fpm
+    cutoff applied as idx >= len(lut) (the LUT construction ends exactly
+    where the cutoff zeroes). Returns integer-valued f32 (w <= fpm < 2^15,
+    exactly representable)."""
+    lut, fpm, bin_shift, c, risky = _lut_meta(h, template, search)
+    t = jnp.floor(cb * (1.0 / (1 << bin_shift)))
+    w = jnp.round(fpm * jnp.exp(t * (-c)))
+    for k in risky:
+        w = jnp.where(t == float(k), float(int(lut[k])), w)
+    return jnp.where(t < float(len(lut)), w, 0.0)
+
+
+def _div_round_i32(num, den):
+    """Exact (num + den//2) // den on int32, den > 0.
+
+    cv2 computes this in unsigned arithmetic because num + den//2 can
+    exceed INT32_MAX; here the identity (num + den//2)//den ==
+    (num + den//2 - den)//den + 1 keeps everything in i32 range, the
+    quotient is seeded by an f32 division (|error| < 1 because the true
+    quotient is <= 255) and corrected exactly with integer remainders."""
+    m = num + jax.lax.shift_right_logical(den, 1) - den
+    q = jnp.floor(m.astype(jnp.float32) / den.astype(jnp.float32)).astype(
+        jnp.int32
+    )
+    r = m - q * den
+    q = q + (r >= den).astype(jnp.int32) - (r < 0).astype(jnp.int32)
+    return q + 1
 
 
 def _dy_unroll(search):
@@ -93,10 +161,11 @@ class _SymGrid:
     def __init__(self, shifts_ref, H, W, nimg, TEMPLATE, SEARCH):
         self.H, self.W, self.nimg = H, W, nimg
         self.TEMPLATE = TEMPLATE
+        self.SEARCH = SEARCH
         self.ts = ts = TEMPLATE // 2
         self.hs = hs = SEARCH // 2
         self.p = p = hs + ts
-        self.inv = -1.0 / (H_PARAM * H_PARAM * TEMPLATE * TEMPLATE)
+        self.fpm = _lut_meta(H_PARAM, TEMPLATE, SEARCH)[1]
         self.HG = HG = H + 2 * ts + hs   # uniform extended row grid
         WG = W + 2 * ts + hs             # per-image work width
         self.Wpad = Wpad = W + 2 * p     # per-image strip width
@@ -106,28 +175,35 @@ class _SymGrid:
         # loop-invariant base slices for the two column origins
         self.B0 = jax.lax.slice(B, (0, 0), (HG, WGp))
         self.Bh = jax.lax.slice(B, (0, hs), (HG, hs + WGp))
+        # integer copy of the frame for the exact i32 accumulation
+        self.Bi = B.astype(jnp.int32)
 
     def weights(self, A, u):
-        """Weight plane + plus-tap slices for offset pair o = (v, u)."""
+        """Weight plane + plus-tap slices for offset pair o = (v, u).
+        Weight values are the exact cv2 fixed-point integers (f32-held);
+        w_i32 is the integer copy the accumulators consume."""
         H, hs, p = self.H, self.hs, self.p
         c0 = 0 if u >= 0 else hs
         bsl = self.B0 if u >= 0 else self.Bh
         asl = jax.lax.slice(A, (0, c0 + u), (self.HG, c0 + u + self.WGp))
         d2 = (asl - bsl) ** 2
         cb = _box_cb(d2, H + hs, self.WA + hs, self.TEMPLATE)
-        w = jnp.exp(cb * self.inv)
+        w = _w_exact(cb, H_PARAM, self.TEMPLATE, self.SEARCH)
+        wi = w.astype(jnp.int32)
         wc = hs if u >= 0 else 0
-        wp = jax.lax.slice(w, (hs, wc), (hs + H, wc + self.WA))
-        cp = jax.lax.slice(A, (p, p + u), (p + H, p + u + self.WA))
-        return w, wp, cp, wc
+        wp = jax.lax.slice(wi, (hs, wc), (hs + H, wc + self.WA))
+        cp = jax.lax.slice(A, (p, p + u), (p + H, p + u + self.WA)).astype(
+            jnp.int32
+        )
+        return w, wi, wp, cp, wc
 
     def v0_tail(self, nums, dens, k):
         """v=0 row: horizontal-only pairs, both taps at static offsets."""
         H, hs, p, WA = self.H, self.hs, self.p, self.WA
         for u in range(1, hs + 1):
-            w, wp, cp, wc = self.weights(self.B, u)
-            wm = jax.lax.slice(w, (hs, wc - u), (hs + H, wc - u + WA))
-            cm = jax.lax.slice(self.B, (p, p - u), (p + H, p - u + WA))
+            w, wi, wp, cp, wc = self.weights(self.B, u)
+            wm = jax.lax.slice(wi, (hs, wc - u), (hs + H, wc - u + WA))
+            cm = jax.lax.slice(self.Bi, (p, p - u), (p + H, p - u + WA))
             i, j = k % _N_PARTIAL, (k + 1) % _N_PARTIAL
             nums[i] = nums[i] + wp * cp
             dens[i] = dens[i] + wp
@@ -137,8 +213,10 @@ class _SymGrid:
         return k
 
     def finalize(self, nums, dens, out_ref):
-        """Reduce the round-robin partials, add the centre tap
-        (w == exp(0) == 1 exactly, no exp needed), clip, emit strips."""
+        """Reduce the round-robin partials, add the centre tap (dist 0 =>
+        w == fpm exactly, no exp needed), exact rounding division, emit
+        strips. Integer accumulation makes the result independent of
+        accumulation order — all kernel variants are bit-identical."""
         H, p, WA, Wpad = self.H, self.p, self.WA, self.Wpad
         num = nums[0]
         for t in nums[1:]:
@@ -146,10 +224,10 @@ class _SymGrid:
         den = dens[0]
         for t in dens[1:]:
             den = den + t
-        num = num + jax.lax.slice(self.B, (p, p), (p + H, p + WA))
-        den = den + 1.0
-        out = num / den
-        out = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.int32)
+        centre = jax.lax.slice(self.Bi, (p, p), (p + H, p + WA))
+        num = num + self.fpm * centre
+        den = den + self.fpm
+        out = jnp.clip(_div_round_i32(num, den), 0, 255)
         for i in range(self.nimg):
             out_ref[0, i] = jax.lax.slice(
                 out, (0, i * Wpad), (H, i * Wpad + self.W))
@@ -190,41 +268,52 @@ def _kernel_sym(shifts_ref, out_ref, *, H, W, nimg, TEMPLATE=TEMPLATE,
 
     def vrow(v, nums, dens):
         A = shifts_ref[0, v]
-        # minus-tap accumulators over y = x - v (rows y in [-hs, H))
+        # minus-tap accumulators over y = x - v (rows y in [-hs, H)) — kept
+        # in f32 SPLIT by weight byte so every staged value stays < 2^24
+        # (exact in f32, so the permutation matmul below is exact): per-v
+        # sums over 21 pairs bound hi = w>>8 (<75) * 255 * 21 and
+        # lo = (w&255) * 255 * 21 well under 2^24.
         mz = jnp.zeros((H + hs, WA), jnp.float32)
-        mn = [mz, mz]
-        md = [mz, mz]
+        mhi, mlo, mde = mz, mz, mz
         k = 0
         for u in range(-hs, hs + 1):
-            w, wp, cp, wc = g.weights(A, u)
+            w, wi, wp, cp, wc = g.weights(A, u)
             i = k % _N_PARTIAL
             nums[i] = nums[i] + wp * cp
             dens[i] = dens[i] + wp
             # -o tap at static offsets in y coordinates
             wmf = jax.lax.slice(w, (0, wc - u), (H + hs, wc - u + WA))
             cmf = jax.lax.slice(g.B, (ts, p - u), (ts + H + hs, p - u + WA))
-            j = k % 2
-            mn[j] = mn[j] + wmf * cmf
-            md[j] = md[j] + wmf
+            whi = jnp.floor(wmf * (1.0 / 256.0))
+            wlo = wmf - whi * 256.0
+            mhi = mhi + whi * cmf
+            mlo = mlo + wlo * cmf
+            mde = mde + wmf
             k += 1
         # shift the minus-tap buffers into output coordinates: output row
         # x_r reads M row x_r - v + hs, i.e. rows [hs, hs+H) after shifting
         # M down by v. Mosaic's dynamic sublane rotate demands (8,128)-
         # aligned shapes, so the shift is a one-hot permutation matmul
         # instead: P[r, c] = (c == r - v), exact in f32 (each output row is
-        # one 1.0*x product), negligible MXU work at this size, and ONE
-        # dynamic op per v-row instead of one per offset pair.
+        # one 1.0*x product of a < 2^24 value), negligible MXU work at this
+        # size, and ONE dynamic op per v-row instead of one per offset pair.
         n = H + hs
         ridx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
         cidx = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
         P = (cidx == ridx - v).astype(jnp.float32)
-        for t, acc in ((mn[0] + mn[1], nums), (md[0] + md[1], dens)):
+
+        def shift(t):
             # HIGHEST pins true-f32 contraction: the exactness argument
             # (one 1.0*x product per output row) requires the MXU not to
             # round the accumulators through bf16
             tr = jax.lax.dot(P, t, preferred_element_type=jnp.float32,
                              precision=jax.lax.Precision.HIGHEST)
-            acc[-1] = acc[-1] + jax.lax.slice(tr, (hs, 0), (hs + H, WA))
+            return jax.lax.slice(tr, (hs, 0), (hs + H, WA))
+
+        nums[-1] = (nums[-1]
+                    + shift(mhi).astype(jnp.int32) * 256
+                    + shift(mlo).astype(jnp.int32))
+        dens[-1] = dens[-1] + shift(mde).astype(jnp.int32)
         return nums, dens
 
     def vbody(it, carry):
@@ -234,7 +323,7 @@ def _kernel_sym(shifts_ref, out_ref, *, H, W, nimg, TEMPLATE=TEMPLATE,
             nums, dens = vrow(1 + it * VU + j, nums, dens)
         return tuple(nums) + tuple(dens)
 
-    z = jnp.zeros((H, WA), jnp.float32)
+    z = jnp.zeros((H, WA), jnp.int32)
     res = jax.lax.fori_loop(0, hs // VU, vbody, (z,) * (2 * _N_PARTIAL))
     nums = list(res[:_N_PARTIAL])
     dens = list(res[_N_PARTIAL:])
@@ -262,19 +351,19 @@ def _kernel_sym_full(shifts_ref, out_ref, *, H, W, nimg, TEMPLATE=TEMPLATE,
     g = _SymGrid(shifts_ref, H, W, nimg, TEMPLATE, SEARCH)
     hs, p, WA = g.hs, g.p, g.WA
 
-    z = jnp.zeros((H, WA), jnp.float32)
+    z = jnp.zeros((H, WA), jnp.int32)
     nums = [z] * _N_PARTIAL
     dens = [z] * _N_PARTIAL
     k = 0
     for v in range(1, hs + 1):
         A = shifts_ref[0, v]  # static leading-dim index
         for u in range(-hs, hs + 1):
-            w, wp, cp, wc = g.weights(A, u)
+            w, wi, wp, cp, wc = g.weights(A, u)
             # -o tap: output row x reads w row (x - v + hs), centre pixel
             # B row (x + p - v) — all offsets static because v, u are
             # Python constants here (vs _kernel_sym's matmul shift)
-            wm = jax.lax.slice(w, (hs - v, wc - u), (hs - v + H, wc - u + WA))
-            cm = jax.lax.slice(g.B, (p - v, p - u), (p - v + H, p - u + WA))
+            wm = jax.lax.slice(wi, (hs - v, wc - u), (hs - v + H, wc - u + WA))
+            cm = jax.lax.slice(g.Bi, (p - v, p - u), (p - v + H, p - u + WA))
             i, j = k % _N_PARTIAL, (k + 1) % _N_PARTIAL
             nums[i] = nums[i] + wp * cp
             dens[i] = dens[i] + wp
@@ -380,7 +469,6 @@ def nl_means_denoise_u8_pallas_packed_sym(img_batch: jax.Array, *,
 def _kernel(shifts_ref, out_ref, *, H, W, TEMPLATE=TEMPLATE, SEARCH=SEARCH):
     ts = TEMPLATE // 2
     hs = SEARCH // 2
-    inv = -1.0 / (H_PARAM * H_PARAM * TEMPLATE * TEMPLATE)
     Hb, Wb = H + 2 * ts, W + 2 * ts
     # base = un-shifted (dy=hs) rows at column offset hs
     base = shifts_ref[0, hs, :, hs : hs + Wb]
@@ -398,15 +486,17 @@ def _kernel(shifts_ref, out_ref, *, H, W, TEMPLATE=TEMPLATE, SEARCH=SEARCH):
                 sh = jax.lax.slice(row, (0, dx), (Hb, dx + Wb))
                 d2 = (sh - base) ** 2
                 cb = _box_cb(d2, H, W, TEMPLATE)
-                w = jnp.exp(cb * inv)
-                centre = jax.lax.slice(sh, (ts, ts), (ts + H, ts + W))
+                w = _w_exact(cb, H_PARAM, TEMPLATE, SEARCH).astype(jnp.int32)
+                centre = jax.lax.slice(sh, (ts, ts), (ts + H, ts + W)).astype(
+                    jnp.int32
+                )
                 i = k % _N_PARTIAL
                 nums[i] = nums[i] + w * centre
                 dens[i] = dens[i] + w
                 k += 1
         return tuple(nums) + tuple(dens)
 
-    z = jnp.zeros((H, W), jnp.float32)
+    z = jnp.zeros((H, W), jnp.int32)
     res = jax.lax.fori_loop(0, SEARCH // DYU, row_body,
                             (z,) * (2 * _N_PARTIAL))
     num = res[0]
@@ -415,8 +505,9 @@ def _kernel(shifts_ref, out_ref, *, H, W, TEMPLATE=TEMPLATE, SEARCH=SEARCH):
     den = res[_N_PARTIAL]
     for t in res[_N_PARTIAL + 1:]:
         den = den + t
-    out = num / den
-    out_ref[0] = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.int32)
+    # the centre (dy=hs, dx=hs) tap is part of the loop (dist 0 => w=fpm),
+    # so num/den already include it and den >= fpm > 0
+    out_ref[0] = jnp.clip(_div_round_i32(num, den), 0, 255)
 
 
 def tpu_backend() -> bool:
@@ -503,7 +594,6 @@ def _kernel_packed(shifts_ref, out_ref, *, H, W, seg, TEMPLATE=TEMPLATE, SEARCH=
     """
     ts = TEMPLATE // 2
     hs = SEARCH // 2
-    inv = -1.0 / (H_PARAM * H_PARAM * TEMPLATE * TEMPLATE)
     Hb = H + 2 * ts
     Wb = W + 2 * ts
     Wk = seg + Wb  # packed working width: both windows + junk gap
@@ -521,15 +611,17 @@ def _kernel_packed(shifts_ref, out_ref, *, H, W, seg, TEMPLATE=TEMPLATE, SEARCH=
                 sh = jax.lax.slice(row, (0, dx), (Hb, dx + Wk))
                 d2 = (sh - base) ** 2
                 cb = _box_cb(d2, H, Wc, TEMPLATE)
-                w = jnp.exp(cb * inv)
-                centre = jax.lax.slice(sh, (ts, ts), (ts + H, ts + Wc))
+                w = _w_exact(cb, H_PARAM, TEMPLATE, SEARCH).astype(jnp.int32)
+                centre = jax.lax.slice(sh, (ts, ts), (ts + H, ts + Wc)).astype(
+                    jnp.int32
+                )
                 i = k % _N_PARTIAL
                 nums[i] = nums[i] + w * centre
                 dens[i] = dens[i] + w
                 k += 1
         return tuple(nums) + tuple(dens)
 
-    z = jnp.zeros((H, Wc), jnp.float32)
+    z = jnp.zeros((H, Wc), jnp.int32)
     res = jax.lax.fori_loop(0, SEARCH // DYU, row_body,
                             (z,) * (2 * _N_PARTIAL))
     num = res[0]
@@ -538,8 +630,7 @@ def _kernel_packed(shifts_ref, out_ref, *, H, W, seg, TEMPLATE=TEMPLATE, SEARCH=
     den = res[_N_PARTIAL]
     for t in res[_N_PARTIAL + 1:]:
         den = den + t
-    out = num / den
-    out = jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.int32)
+    out = jnp.clip(_div_round_i32(num, den), 0, 255)
     out_ref[0, 0] = jax.lax.slice(out, (0, 0), (H, W))
     out_ref[0, 1] = jax.lax.slice(out, (0, seg), (H, seg + W))
 

@@ -21,8 +21,65 @@ class TrainState(NamedTuple):
     step: jax.Array
 
 
-def make_optimizer(learning_rate=0.001):
-    return optax.adam(learning_rate)
+class _KerasAdamState(NamedTuple):
+    count: jax.Array
+    lr: jax.Array  # mutable base lr (ReduceLROnPlateau: _replace(lr=...))
+    mu: Any
+    nu: Any
+
+
+def keras_adam(learning_rate=0.001, b1=0.9, b2=0.999, eps=1e-7,
+               decay_rate=None, decay_steps=100000):
+    """tf.keras.optimizers.Adam's exact update rule.
+
+    Differs from optax.adam in epsilon placement: keras folds the bias
+    corrections into the step size (alpha = lr*sqrt(1-b2^t)/(1-b1^t)) and
+    adds epsilon to the UNCORRECTED sqrt(v) — an effective first-step
+    epsilon of eps/sqrt(1-b2) (~31.6x optax's), which visibly shrinks
+    small-gradient updates. Verified one-step-equal to tf.keras in
+    tests/test_train_oracle.py. decay_rate enables the reference's
+    staircase ExponentialDecay schedule (kerasmodel.py optimizer():
+    decay_steps=100000)."""
+
+    def init_fn(params):
+        z = jax.tree_util.tree_map(jnp.zeros_like, params)
+        z2 = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return _KerasAdamState(
+            jnp.zeros([], jnp.int32), jnp.float32(learning_rate), z, z2
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        mu = jax.tree_util.tree_map(
+            lambda m, g: m + (g - m) * (1 - b1), state.mu, updates
+        )
+        nu = jax.tree_util.tree_map(
+            lambda v, g: v + (g * g - v) * (1 - b2), state.nu, updates
+        )
+        t = count.astype(jnp.float32)
+        lr = state.lr
+        if decay_rate is not None:
+            # keras ExponentialDecay(staircase=True) evaluated at
+            # optimizer.iterations (0-based at the first step)
+            lr = lr * jnp.float32(decay_rate) ** jnp.floor(
+                (t - 1) / decay_steps
+            )
+        alpha = lr * jnp.sqrt(1 - jnp.float32(b2) ** t) / (
+            1 - jnp.float32(b1) ** t
+        )
+        upd = jax.tree_util.tree_map(
+            lambda m, v: -alpha * m / (jnp.sqrt(v) + eps), mu, nu
+        )
+        return upd, _KerasAdamState(count, state.lr, mu, nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def make_optimizer(learning_rate=0.001, learning_rate_decay=None):
+    """The reference's training optimizer (kerasmodel.py:1233-1247):
+    Adam with keras's exact epsilon placement + optional staircase decay."""
+    return keras_adam(learning_rate, decay_rate=learning_rate_decay)
 
 
 def create_train_state(model, rng, input_shape, tx) -> TrainState:

@@ -84,7 +84,13 @@ class Trainer:
             else jnp.float32,
         )
         lr = learning_rate
-        tx = optax.inject_hyperparams(optax.adam)(learning_rate=lr)
+        # keras-exact Adam (epsilon on the uncorrected sqrt(v), reference
+        # kerasmodel.py optimizer(); one-step-equal to tf.keras in
+        # tests/test_train_oracle.py), with the reference's optional
+        # staircase ExponentialDecay
+        tx = steps.keras_adam(
+            lr, decay_rate=self.hp.get("learning_rate_decay")
+        )
         sw = self.hp.get("square_width", 5)
         size = self.hp.get("frame_size", 32) * sw
         state = steps.create_train_state(
@@ -184,7 +190,8 @@ class Trainer:
                 lr_no_improve += 1
                 if lr_no_improve >= REDUCE_LR_PATIENCE:
                     lr *= REDUCE_LR_FACTOR
-                    state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr)
+                    state = state._replace(opt_state=state.opt_state._replace(
+                        lr=jnp.float32(lr)))
                     lr_no_improve = 0
                     logging.info("ReduceLROnPlateau: lr -> %s", lr)
                 if epochs_no_improve >= EARLY_STOP_PATIENCE:
@@ -264,7 +271,7 @@ class Trainer:
             dropout=hp.get("dropout", 0.3), logits_only=True,
             compute_dtype=jnp.bfloat16 if mixed_precision else jnp.float32,
         )
-        tx = optax.adam(1e-3)
+        tx = steps.keras_adam(1e-3)
         sw = hp.get("square_width", 5)
         size = hp.get("frame_size", 32) * sw
         state = steps.create_train_state(

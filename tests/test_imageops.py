@@ -303,44 +303,30 @@ def test_pallas_packed_nlmeans_interpret_parity():
 
 def test_pallas_nlmeans_tree_unroll_interpret():
     """Cover the PRODUCTION kernel structure (TEMPLATE=7 tree box-sums +
-    DY-unrolled row loop) on CPU via interpret mode: packed == unpacked
-    exactly, and both within 1 gray level of a float64 numpy reference.
+    DY-unrolled row loop) on CPU via interpret mode: every variant equal,
+    and BIT-EXACT against cv2.fastNlMeansDenoising at the same window
+    params (the kernels implement cv2's fixed-point weight law).
     SEARCH=9 is divisible by _DY_UNROLL so the unrolled indexing runs."""
     import functools
 
     import numpy as np
     import jax
     import jax.numpy as jnp
+    import pytest
     from jax.experimental import pallas as pl
 
     from classifier_pipeline_tpu.ops import pallas_nlmeans as pn
 
+    cv2 = pytest.importorskip("cv2")
     T, S = 7, 9
     assert S % pn._DY_UNROLL == 0
     rng = np.random.default_rng(1)
     imgs = np.clip(rng.normal(90, 50, (2, 12, 17)), 0, 255).astype(np.int32)
 
-    def ref_one(img):
-        ts, hs = T // 2, S // 2
-        p = hs + ts
-        x = np.pad(img.astype(np.float64), p, mode="reflect")
-        H, W = img.shape
-        num = np.zeros((H, W)); den = np.zeros((H, W))
-        inv = -1.0 / (pn.H_PARAM**2 * T * T)
-        for dy in range(S):
-            for dx in range(S):
-                d2 = (x[dy:dy + H + 2*ts, dx:dx + W + 2*ts]
-                      - x[hs:hs + H + 2*ts, hs:hs + W + 2*ts]) ** 2
-                cb = np.zeros((H, W))
-                for r in range(T):
-                    for c in range(T):
-                        cb += d2[r:r + H, c:c + W]
-                w = np.exp(cb * inv)
-                num += w * x[dy + ts:dy + ts + H, dx + ts:dx + ts + W]
-                den += w
-        return np.clip(num / den + 0.5, 0, 255).astype(np.int32)
-
-    want = np.stack([ref_one(i) for i in imgs])
+    want = np.stack([
+        cv2.fastNlMeansDenoising(i.astype(np.uint8), None, 3.0, T, S)
+        for i in imgs
+    ]).astype(np.int32)
     kw = dict(TEMPLATE=T, SEARCH=S)
     with jax.disable_jit():
         import unittest.mock as mock
@@ -362,8 +348,8 @@ def test_pallas_nlmeans_tree_unroll_interpret():
     np.testing.assert_array_equal(a, c)
     np.testing.assert_array_equal(a, d)
     np.testing.assert_array_equal(a, e)
-    assert np.abs(a - want).max() <= 1
-    assert (a != want).mean() < 0.02
+    # cv2 bit-exactness at the same (template, search) params
+    np.testing.assert_array_equal(a, want)
 
 
 def test_frame_medians_binary_search_exact():
