@@ -533,7 +533,14 @@ class FlaxInterpreter:
         for seg in segments:
             for r in seg.regions:
                 unique.setdefault(r.frame_number, r)
-        regions = sorted(unique.values(), key=lambda r: r.frame_number)
+        # drop regions whose frame has been evicted from the streaming ring
+        # (a blank-heavy track's frames_for_prediction lookback can span
+        # more frames than the 64-slot ring holds) — mirrors the
+        # track_regions filter below; index_of would KeyError otherwise
+        regions = sorted(
+            (r for r in unique.values() if clip_ctx.has_frame(r.frame_number)),
+            key=lambda r: r.frame_number,
+        )
         if not regions:
             return None
         clip_at_zero = clip_ctx.clip_thermals_at_zero(regions)
@@ -561,10 +568,25 @@ class FlaxInterpreter:
             tv[i] = True
         S = len(segments)
         Sb = caps[2] if caps and S <= caps[2] else _next_bucket(S)
+        if caps and (F > caps[0] or nt > caps[1] or S > caps[2]):
+            # falling back to dynamic buckets reintroduces the mid-stream
+            # XLA compile the caps exist to prevent — make it visible
+            # instead of manifesting as an unexplained multi-second stall
+            logging.warning(
+                "streaming caps exceeded (frames %d/%d, track regions %d/%d,"
+                " segments %d/%d): classify will compile a new program",
+                F, caps[0], nt, caps[1], S, caps[2],
+            )
         sw2 = self.params.square_width**2
         seg_idx = np.zeros((Sb, sw2), np.int32)
         for i, seg in enumerate(segments):
-            seg_idx[i] = [frame_to_pos[f] for f in seg.frame_indices]
+            # an evicted frame (dropped by the has_frame filter above) falls
+            # back to the segment's first still-present frame — degraded
+            # tile repetition beats a KeyError mid-stream
+            present = [f for f in seg.frame_indices if f in frame_to_pos]
+            fallback = frame_to_pos[present[0]] if present else 0
+            seg_idx[i] = [frame_to_pos.get(f, fallback)
+                          for f in seg.frame_indices]
         return reg_arr, valid, tr, tv, seg_idx, clip_at_zero, S
 
     def preprocess_segments(self, clip_ctx, track, segments):

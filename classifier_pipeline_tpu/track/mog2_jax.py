@@ -219,10 +219,30 @@ class MOG2:
         else:
             alphaT = 1.0 / min(2 * self.nframes, self.history)
         if self.state is None:
+            np_state = self._np_state
             mask = self._try_native(np.ascontiguousarray(frame), alphaT)
             if mask is not None:
                 return mask
-            self.state = init_state(frame.shape)
+            if np_state is not None:
+                # the native path had accumulated background statistics and
+                # a non-u8 frame (or a native failure) forced the JAX path:
+                # carry the model over instead of silently restarting it
+                import logging
+
+                logging.warning(
+                    "MOG2: native path unavailable after %d frames; "
+                    "continuing with the JAX model seeded from the "
+                    "accumulated native state", self.nframes - 1,
+                )
+                self._np_state = None
+                self.state = Mog2State(
+                    weight=jnp.asarray(np_state["weight"]),
+                    mean=jnp.asarray(np_state["mean"]),
+                    var=jnp.asarray(np_state["var"]),
+                    nmodes=jnp.asarray(np_state["nmodes"]),
+                )
+            else:
+                self.state = init_state(frame.shape)
         self.state, mask = update(self.state, jnp.asarray(frame), alphaT)
         return mask
 
