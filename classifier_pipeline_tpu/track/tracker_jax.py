@@ -663,14 +663,29 @@ def make_scan_step(p: TrackingParams):
         )
 
         # ---- new tracks from unmatched regions ------------------------------
-        # overlap vs active tracks' last bounds (the set at frame start)
+        # overlap vs active tracks' CURRENT bounds: the reference adds the
+        # matched region to its track during matching (cliptracker.py:202),
+        # so _create_new_tracks (:207-216) sees matched tracks at THIS
+        # frame's box; blanked/unmatched tracks keep their old last bound.
+        # (caught by the synth_merge_split golden: the post-split second
+        # region stopped overlapping only under the updated bound)
+        mi_c = jnp.clip(match_r, 0, KR - 1)
+        m_ok = (match_r >= 0)[:, None]
+        r_xf = reg["x"].astype(jnp.float32)
+        r_yf = reg["y"].astype(jnp.float32)
+        r_rf = (reg["x"] + reg["w"]).astype(jnp.float32)
+        r_bf = (reg["y"] + reg["h"]).astype(jnp.float32)
+        e_lx = jnp.where(m_ok, r_xf[mi_c][:, None], t_lx)
+        e_ly = jnp.where(m_ok, r_yf[mi_c][:, None], t_ly)
+        e_rx = jnp.where(m_ok, r_rf[mi_c][:, None], t_rx)
+        e_by = jnp.where(m_ok, r_bf[mi_c][:, None], t_by)
         ox = jnp.maximum(
             0.0,
-            jnp.minimum(t_rx, r_r) - jnp.maximum(t_lx, r_x),
+            jnp.minimum(e_rx, r_r) - jnp.maximum(e_lx, r_x),
         )
         oy = jnp.maximum(
             0.0,
-            jnp.minimum(t_by, r_b) - jnp.maximum(t_ly, r_y),
+            jnp.minimum(e_by, r_b) - jnp.maximum(e_ly, r_y),
         )
         overlap = jnp.where(slots.active[:, None], ox * oy, 0.0)
         max_overlap = jnp.max(overlap, axis=0)  # (KR,)

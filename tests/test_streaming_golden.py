@@ -103,6 +103,12 @@ CLIPS = [
     ("synth_crossing", FIXTURES / "synth_crossing.cptv"),
     ("synth_ffc_storm", FIXTURES / "synth_ffc_storm.cptv"),
     ("synth_blank_gap", FIXTURES / "synth_blank_gap.cptv"),
+    ("synth_merge_split", FIXTURES / "synth_merge_split.cptv"),
+    ("synth_mass_flicker", FIXTURES / "synth_mass_flicker.cptv"),
+    # tie_entry: the reference replay records NOTHING for this clip (the
+    # slow mirrored blobs never trip the two-delta trigger) — the golden
+    # pins that the motion gate stays closed on our side too
+    ("synth_tie_entry", FIXTURES / "synth_tie_entry.cptv"),
 ]
 
 

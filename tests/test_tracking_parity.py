@@ -101,6 +101,12 @@ SYNTH_CASES = [
     ("synth_ffc_storm", False),  # mid-clip FFC bursts split tracks
     ("synth_blank_gap", False),  # Kalman bridging across 8 blank frames
     ("synth_edge", False),       # border-clipped entry/exit regions
+    # round-5 additions (VERDICT r04 item 7)
+    ("synth_merge_split", True),   # overlap handoff, re-acquire on split
+    ("synth_tie_entry", True),     # exact same-score simultaneous entries
+    ("synth_mass_flicker", False),  # near-threshold region flicker
+    ("synth_ffc_trigger", False),  # entry during an FFC burst
+    ("synth_sparse", False),       # 6-frame shortest-viable track
 ]
 
 

@@ -20,6 +20,25 @@ Scenarios (reference semantics each targets):
   * edge        — a region entering/leaving through the frame border:
                   edge cropping and the region-on-edge handling
                   (reference src/track/region.py crop logic).
+  * merge_split — two blobs approach, overlap into ONE region for several
+                  frames, then separate: the matcher must hand the merged
+                  region to one track, extrapolate the other through
+                  blanks, and re-acquire on split (reference
+                  src/track/cliptracker.py _match_existing_tracks scoring).
+  * tie_entry   — two IDENTICAL same-frame blobs (equal size/heat/mass):
+                  the same-score track-creation tie the reference resolves
+                  by set() iteration order (cliptracker.py:140,207-210) —
+                  goldens compare order-insensitively on positions.
+  * mass_flicker— a marginal blob hovering at the detection threshold, its
+                  size pulsing so the region appears/disappears across
+                  frames: min-mass gating + blank-frame bookkeeping.
+  * ffc_trigger — the animal appears DURING an FFC burst and the burst ends
+                  mid-approach: tracking must begin cleanly at the FFC
+                  boundary (is_affected_by_ffc gating on the first usable
+                  frames).
+  * sparse      — a fast 6-frame appearance: the shortest viable track
+                  (also the classify-side sparse-segment confidence-cap
+                  regime, reference ml_tools/interpreter.py:161-167).
 
 Determinism: every pixel is a pure function of (scenario, frame index) via
 a seeded RandomState; re-running this script reproduces byte-identical
@@ -148,10 +167,64 @@ def edge(outdir):
     make_clip(outdir / "synth_edge.cptv", 75, stamp, seed=15)
 
 
+def merge_split(outdir):
+    def stamp(f, i):
+        # approach until fully overlapped (frames ~22-38), then separate
+        sep = max(4.0, 34.0 - 1.5 * i) if i < 20 else (
+            4.0 if i < 38 else 4.0 + 1.8 * (i - 38)
+        )
+        blob(f, 80 - sep, 56, w=12, h=9)
+        blob(f, 80 + sep, 58, w=10, h=8)
+    make_clip(outdir / "synth_merge_split.cptv", 60, stamp, seed=16)
+
+
+def tie_entry(outdir):
+    def stamp(f, i):
+        # two blobs with IDENTICAL geometry/heat appearing on the same
+        # frame, mirrored about the centre so their scores tie exactly
+        blob(f, 40 + 1.2 * i, 40, w=10, h=8, heat=90)
+        blob(f, 120 - 1.2 * i, 80, w=10, h=8, heat=90)
+    make_clip(outdir / "synth_tie_entry.cptv", 50, stamp, seed=17)
+
+
+def mass_flicker(outdir):
+    def stamp(f, i):
+        # a solid anchor track plus a marginal blob that pulses between a
+        # comfortably-detectable size and a couple of pixels
+        blob(f, 20 + 1.5 * i, 90, w=11, h=9)
+        if (i // 3) % 2 == 0:
+            blob(f, 100, 30 + 0.4 * i, w=6, h=5, heat=60)
+        else:
+            blob(f, 100, 30 + 0.4 * i, w=2, h=2, heat=35)
+    make_clip(outdir / "synth_mass_flicker.cptv", 60, stamp, seed=18)
+
+
+def ffc_trigger(outdir):
+    def stamp(f, i):
+        if i < 12:
+            return  # empty scene until the burst is underway
+        blob(f, 10 + 2.0 * (i - 12), 64, w=12, h=9)
+    # FFC burst spans the animal's entry: frames 10-17 are FFC-affected,
+    # the first clean frames catch it mid-approach
+    make_clip(outdir / "synth_ffc_trigger.cptv", 60, stamp,
+              ffc_frames=set(range(10, 18)), seed=19)
+
+
+def sparse(outdir):
+    def stamp(f, i):
+        if 20 <= i < 26:  # 6 frames only, moving fast enough to survive
+            blob(f, 30 + 4.0 * (i - 20), 60, w=12, h=10)
+    make_clip(outdir / "synth_sparse.cptv", 50, stamp, seed=20)
+
+
+ALL_SCENARIOS = (crossing, many12, ffc_storm, blank_gap, edge,
+                 merge_split, tie_entry, mass_flicker, ffc_trigger, sparse)
+
+
 def main():
     outdir = Path(sys.argv[1]) if len(sys.argv) > 1 else REPO / "tests/fixtures"
     outdir.mkdir(parents=True, exist_ok=True)
-    for fn in (crossing, many12, ffc_storm, blank_gap, edge):
+    for fn in ALL_SCENARIOS:
         fn(outdir)
         print("wrote", fn.__name__)
 

@@ -93,7 +93,7 @@ def build_model_fixture(fixdir):
     return model_path
 
 
-def mint_golden(model_path, outdir):
+def mint_golden(model_path, outdir, clips=None):
     import shutil
     import tempfile
 
@@ -114,41 +114,70 @@ def mint_golden(model_path, outdir):
 
     ref_kalman.Kalman.correct = _correct
 
-    with tempfile.TemporaryDirectory() as td:
-        local = Path(td) / "possum.cptv"
-        shutil.copy(REF / "tests/clips/possum.cptv", local)
-        config = Config.get_defaults()
-        clip, _, _ = extract_file(local, config, cache_to_disk=False)
-
     # get_interpreter_from_path at reference head passes init_model a
     # run_over_network kwarg it doesn't accept; construct directly the way
     # get_interpreter (interpreter.py:617-621) does
     classifier = KerasModel()
     classifier.init_model(Path(model_path))
-    classifier.seed = SEED
 
-    golden = {"seed": SEED, "labels": classifier.labels, "tracks": []}
-    for track in clip.tracks:
-        pred = classifier.classify_track(clip, track, min_segments=1)
-        golden["tracks"].append({
-            "track_id": track.get_id(),
-            # per-segment raw data (reference trackprediction.py:64-80)
-            "prediction_frames": [
-                [int(f) for f in p.frames] for p in pred.predictions
-            ],
-            "masses": [float(p.mass) for p in pred.predictions],
-            "raw_predictions": [
-                np.float64(p.prediction).tolist() for p in pred.predictions
-            ],
-            # accumulated summary (trackprediction.py:347-402)
-            "predicted_tag": pred.predicted_tag(),
-            "max_score": float(pred.max_score),
-            "clarity": float(pred.clarity),
-            "class_best_score": np.float64(pred.class_best_score).tolist(),
-        })
-    out = outdir / "possum_classify.json"
-    out.write_text(json.dumps(golden, indent=1))
-    return out
+    if clips is None:
+        clips = [("possum", REF / "tests/clips/possum.cptv")]
+    outs = []
+    for name, clip_path in clips:
+        with tempfile.TemporaryDirectory() as td:
+            local = Path(td) / Path(clip_path).name
+            shutil.copy(clip_path, local)
+            config = Config.get_defaults()
+            clip, _, _ = extract_file(local, config, cache_to_disk=False)
+
+        classifier.seed = SEED
+        golden = {"seed": SEED, "labels": classifier.labels, "tracks": []}
+        for track in clip.tracks:
+            # the reference's ALL_RANDOM_MASKED long-track branch shuffles
+            # through the GLOBAL np.random (datasetstructures.py:1197) — a
+            # per-track reseed makes the golden reproducible. The seed is
+            # derived from track CONTENT (not id: same-frame track ids are
+            # set-order-dependent in the reference) and the test applies
+            # the identical convention before each classify_track.
+            b0 = track.bounds_history[0]
+            sig = (int(track.start_frame), int(b0.x), int(b0.y))
+            np.random.seed((SEED + sig[0] * 9176 + sig[1] * 131 + sig[2])
+                           % 2**31)
+            pred = classifier.classify_track(clip, track, min_segments=1)
+            if pred is None:
+                golden["tracks"].append(
+                    {"track_id": track.get_id(), "sig": sig, "skipped": True}
+                )
+                continue
+            golden["tracks"].append({
+                "track_id": track.get_id(),
+                "sig": sig,
+                # per-segment raw data (reference trackprediction.py:64-80)
+                "prediction_frames": [
+                    [int(f) for f in p.frames] for p in pred.predictions
+                ],
+                "masses": [float(p.mass) for p in pred.predictions],
+                "raw_predictions": [
+                    np.float64(p.prediction).tolist() for p in pred.predictions
+                ],
+                # accumulated summary (trackprediction.py:347-402)
+                "predicted_tag": pred.predicted_tag(),
+                "max_score": float(pred.max_score),
+                "clarity": float(pred.clarity),
+                "class_best_score": np.float64(pred.class_best_score).tolist(),
+                # True when the sparse-segment 0.5 confidence cap fired
+                # (reference interpreter.py:161-167)
+                "capped": bool(
+                    len(pred.predictions) == 1
+                    and len(set(pred.predictions[0].frames))
+                    < classifier.params.square_width ** 2 / 4
+                    and pred.predicted_tag() != "false-positive"
+                ),
+            })
+        out = outdir / f"{name}_classify.json"
+        out.write_text(json.dumps(golden, indent=1))
+        outs.append(out)
+    return outs
 
 
 def main():
@@ -162,9 +191,18 @@ def main():
     tf.keras.Input  # force keras lazy init
     install_shims()
     sys.path.insert(0, str(REF / "src"))
-    model_path = build_model_fixture(fixdir)
-    out = mint_golden(model_path, outdir)
-    print("wrote", model_path, "and", out)
+    model_path = fixdir / "classify_model.keras"
+    if not model_path.exists():
+        model_path = build_model_fixture(fixdir)
+    outs = mint_golden(model_path, outdir, clips=[
+        ("possum", REF / "tests/clips/possum.cptv"),
+        ("hedgehog", REF / "tests/clips/hedgehog.cptv"),
+        # multi-track scheduling (12 simultaneous tracks)
+        ("synth_many12", fixdir / "synth_many12.cptv"),
+        # 6-frame track: the sparse-segment 0.5 confidence-cap regime
+        ("synth_sparse", fixdir / "synth_sparse.cptv"),
+    ])
+    print("wrote", model_path, "and", [str(o) for o in outs])
 
 
 if __name__ == "__main__":

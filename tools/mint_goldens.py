@@ -175,6 +175,14 @@ def main():
             ("synth_ffc_storm", None),
             ("synth_blank_gap", None),
             ("synth_edge", None),
+            # round-5 additions: merge-then-split matcher handoff, exact
+            # same-score simultaneous entries, near-threshold mass flicker,
+            # FFC-adjacent trigger, 6-frame sparse track
+            ("synth_merge_split", None),
+            ("synth_tie_entry", None),
+            ("synth_mass_flicker", None),
+            ("synth_ffc_trigger", None),
+            ("synth_sparse", None),
         ):
             clip = fixdir / f"{name}.cptv"
             if not clip.exists():

@@ -360,6 +360,9 @@ def main():
         ("synth_crossing", REPO / "tests/fixtures/synth_crossing.cptv", False, None),
         ("synth_ffc_storm", REPO / "tests/fixtures/synth_ffc_storm.cptv", False, None),
         ("synth_blank_gap", REPO / "tests/fixtures/synth_blank_gap.cptv", False, None),
+        ("synth_merge_split", REPO / "tests/fixtures/synth_merge_split.cptv", False, None),
+        ("synth_mass_flicker", REPO / "tests/fixtures/synth_mass_flicker.cptv", False, None),
+        ("synth_tie_entry", REPO / "tests/fixtures/synth_tie_entry.cptv", False, None),
         # classified replay: predictions golden via the committed .keras
         # fixture, seeded so segment sampling is deterministic
         ("possum_classified", REF / "tests/clips/possum.cptv", True, 42),
