@@ -1038,6 +1038,20 @@ int cptv_writer_close(void* h) {
 // random families, and real streaming frames
 // (tests/test_imageops.py::test_native_nlmeans_vs_cv2_oracle).
 
+
+// Thread count for the row/stripe-parallel host kernels: CPTPU_NATIVE_THREADS
+// overrides hardware_concurrency (e.g. to measure Pi-4-style 4-thread
+// striping on a 1-core dev box, or to pin a deployment).
+static long long native_thread_count() {
+  const char* e = std::getenv("CPTPU_NATIVE_THREADS");
+  if (e && *e) {
+    long long v = std::atoll(e);
+    if (v >= 1) return v < 64 ? v : 64;
+  }
+  long long hwc = (long long)std::thread::hardware_concurrency();
+  return hwc ? hwc : 1;
+}
+
 static const int NLM_TPL = 7, NLM_SEARCH = 21;
 static const int32_t NLM_FPM = 2147483647 / (NLM_SEARCH * NLM_SEARCH * 255);
 // nonzero weights only for idx = boxsum>>6 in [0, 48): boxsum < 3072
@@ -1092,9 +1106,8 @@ long long nl_means_u8(const uint8_t* img, long long Hn, long long Wn,
   // on any machine / core count (only parallelism varies, not arithmetic)
   const long long n_stripes = 8;
   std::vector<std::vector<int64_t>> pnum(n_stripes), pden(n_stripes);
-  long long hwc = (long long)std::thread::hardware_concurrency();
   long long n_threads = std::max<long long>(
-      1, std::min<long long>(n_stripes, (long long)(hwc ? hwc : 1)));
+      1, std::min<long long>(n_stripes, native_thread_count()));
   std::atomic<long long> next_stripe(0);
   std::vector<std::thread> threads;
   for (long long w = 0; w < n_threads; w++) {
@@ -1391,9 +1404,8 @@ extern "C" void mog2_update_u8(const uint8_t* frame, long long H, long long W,
                                float* var, int32_t* nmodes,
                                uint8_t* mask_out) {
   const long long HW = H * W;
-  long long hwc = (long long)std::thread::hardware_concurrency();
   long long n_threads =
-      std::max<long long>(1, std::min<long long>(8, (long long)(hwc ? hwc : 1)));
+      std::max<long long>(1, std::min<long long>(8, native_thread_count()));
   if (n_threads == 1 || HW < 1 << 15) {
     mog2_rows(frame, HW, 0, HW, alphaT, weight, mean, var, nmodes, mask_out);
     return;

@@ -424,92 +424,134 @@ def merge_components_ir(
     comps: ComponentStats, max_gap: float = 40.0, min_mass: float = 40.0,
     min_size: float = 16.0,
 ) -> ComponentStats:
-    """reference IRTrackExtractor.merge_components (irtrackextractor.py:324-389):
-    drop tiny fragments, then merge rectangles whose gap < max_gap or which
-    overlap on both axes — computed as transitive closure over the pairwise
-    adjacency, with merged boxes = union bbox and mass = sum.
-    """
+    """reference IRTrackExtractor.merge_components (irtrackextractor.py:324-389).
+
+    Drop tiny fragments (mass <= min_mass AND not both sides > min_size),
+    sort by mass descending (stable), then each surviving SEED absorbs every
+    still-available rect whose ORIGINAL box is adjacent to the seed's
+    ORIGINAL box (rect gap distance < max_gap, or overlap on both axes) —
+    NOT transitive closure: a chain A-B-C where only consecutive pairs are
+    adjacent merges to (A+B) and (C), exactly as the reference's
+    delete-and-restart loop does. Reference quirks replicated: rects
+    sharing the seed's x0 are skipped (the identity test is r[0]==rect[0],
+    irtrackextractor.py:352) and the union bottom uses the UPDATED top with
+    the OLD height (:375). Output keeps the reference's mass-descending
+    order."""
     K = comps.x.shape[0]
     keep = comps.valid & (
         (comps.area > min_mass)
         | ((comps.w > min_size) & (comps.h > min_size))
     )
-    x0 = comps.x.astype(jnp.float32)
-    y0 = comps.y.astype(jnp.float32)
-    x1 = (comps.x + comps.w).astype(jnp.float32)
-    y1 = (comps.y + comps.h).astype(jnp.float32)
-    # rectangle gap distance (0 when overlapping)
+    # mass-descending stable sort (python sorted(reverse=True) keeps ties
+    # in raster order); invalid slots sink to the end
+    order = jnp.argsort(
+        jnp.where(keep, -comps.area, jnp.iinfo(jnp.int32).max), stable=True
+    )
+    sx = comps.x[order].astype(jnp.float32)
+    sy = comps.y[order].astype(jnp.float32)
+    sw = comps.w[order].astype(jnp.float32)
+    sh = comps.h[order].astype(jnp.float32)
+    sarea = comps.area[order]
+    skeep = keep[order]
+    x1 = sx + sw
+    y1 = sy + sh
+    # adjacency on ORIGINAL boxes: rect gap distance (0 when overlapping
+    # per axis, reference rect_distance :789-817) or overlap on both axes
     dx = jnp.maximum(
-        jnp.maximum(x0[:, None] - x1[None, :], x0[None, :] - x1[:, None]), 0.0
+        jnp.maximum(sx[:, None] - x1[None, :], sx[None, :] - x1[:, None]), 0.0
     )
     dy = jnp.maximum(
-        jnp.maximum(y0[:, None] - y1[None, :], y0[None, :] - y1[:, None]), 0.0
+        jnp.maximum(sy[:, None] - y1[None, :], sy[None, :] - y1[:, None]), 0.0
     )
     dist = jnp.sqrt(dx * dx + dy * dy)
-    overlap_x = (comps.w[:, None] + comps.w[None, :]) > (
-        jnp.maximum(x1[:, None], x1[None, :]) - jnp.minimum(x0[:, None], x0[None, :])
+    overlap_x = (sw[:, None] + sw[None, :]) > (
+        jnp.maximum(x1[:, None], x1[None, :]) - jnp.minimum(sx[:, None], sx[None, :])
     )
-    overlap_y = (comps.h[:, None] + comps.h[None, :]) > (
-        jnp.maximum(y1[:, None], y1[None, :]) - jnp.minimum(y0[:, None], y0[None, :])
+    overlap_y = (sh[:, None] + sh[None, :]) > (
+        jnp.maximum(y1[:, None], y1[None, :]) - jnp.minimum(sy[:, None], sy[None, :])
     )
-    adj = ((dist < max_gap) | (overlap_x & overlap_y)) & keep[:, None] & keep[None, :]
-    # transitive closure: label = min reachable index, via K rounds of min-prop
-    lab = jnp.where(keep, jnp.arange(K), K)
+    samex = sx[:, None] == sx[None, :]
+    adj = (
+        ((dist < max_gap) | (overlap_x & overlap_y))
+        & ~samex
+        & skeep[:, None] & skeep[None, :]
+    )
+    ii = jnp.arange(K)
+    # adjacency is symmetric, so an earlier rect adjacent to a later one
+    # absorbs it first — seeds only ever absorb later rects
+    adj = adj & (ii[None, :] > ii[:, None])
 
-    def body(_, lab):
-        neigh = jnp.min(jnp.where(adj, lab[None, :], K), axis=1)
-        return jnp.minimum(lab, neigh)
+    def seed_body(i, st):
+        def absorb(j, st2):
+            bx, by, bw, bh, mass, absorbed, owner = st2
+            can = (~absorbed[i]) & (~absorbed[j]) & adj[i, j]
+            old_x0, old_y0 = bx[i], by[i]
+            old_w, old_h = bw[i], bh[i]
+            cur_right = old_x0 + old_w
+            nx0 = jnp.minimum(old_x0, sx[j])
+            ny0 = jnp.minimum(old_y0, sy[j])
+            right = jnp.maximum(cur_right, sx[j] + sw[j])
+            # reference quirk: bottom from the UPDATED top + OLD height
+            bottom = jnp.maximum(ny0 + old_h, sy[j] + sh[j])
+            bx = bx.at[i].set(jnp.where(can, nx0, old_x0))
+            by = by.at[i].set(jnp.where(can, ny0, old_y0))
+            bw = bw.at[i].set(jnp.where(can, right - nx0, old_w))
+            bh = bh.at[i].set(jnp.where(can, bottom - ny0, old_h))
+            mass = mass.at[i].add(jnp.where(can, sarea[j], 0))
+            absorbed = absorbed.at[j].set(absorbed[j] | can)
+            owner = owner.at[j].set(jnp.where(can, i, owner[j]))
+            return bx, by, bw, bh, mass, absorbed, owner
 
-    lab = jax.lax.fori_loop(0, K, body, lab)
-    # aggregate per root
-    roots = jnp.arange(K)
-    is_root = keep & (lab == roots)
-    eq = lab[None, :] == roots[:, None]  # (root, member)
-    big = jnp.float32(1e9)
-    mx0 = jnp.min(jnp.where(eq, x0[None, :], big), axis=1)
-    my0 = jnp.min(jnp.where(eq, y0[None, :], big), axis=1)
-    mx1 = jnp.max(jnp.where(eq, x1[None, :], -big), axis=1)
-    my1 = jnp.max(jnp.where(eq, y1[None, :], -big), axis=1)
-    mass = jnp.sum(jnp.where(eq, comps.area[None, :], 0), axis=1)
-    # centroids: mass-weighted average of member centroids
-    cxs = jnp.sum(jnp.where(eq, comps.cx[None, :] * comps.area[None, :], 0.0), axis=1)
-    cys = jnp.sum(jnp.where(eq, comps.cy[None, :] * comps.area[None, :], 0.0), axis=1)
-    denom = jnp.maximum(mass, 1).astype(jnp.float32)
-    # pack roots to the front preserving order
-    order = jnp.argsort(jnp.where(is_root, 0, 1), stable=True)
-    g = lambda a: a[order]
+        return jax.lax.fori_loop(0, K, absorb, st)
+
+    init = (
+        sx, sy, sw, sh, sarea,
+        jnp.zeros((K,), jnp.bool_), jnp.arange(K),
+    )
+    bx, by, bw, bh, mass, absorbed, owner = jax.lax.fori_loop(
+        0, K, seed_body, init
+    )
+    is_seed = skeep & ~absorbed
+    # group aggregates for the auxiliary stats (members = seed + absorbed)
+    eq = owner[None, :] == ii[:, None]
+    scx = comps.cx[order]
+    scy = comps.cy[order]
+    gm = jnp.sum(jnp.where(eq, sarea[None, :], 0), axis=1)
+    cxs = jnp.sum(jnp.where(eq, scx[None, :] * sarea[None, :], 0.0), axis=1)
+    cys = jnp.sum(jnp.where(eq, scy[None, :] * sarea[None, :], 0.0), axis=1)
+    denom = jnp.maximum(gm, 1).astype(jnp.float32)
+    # pack seeds to the front preserving the mass-descending order
+    pack = jnp.argsort(jnp.where(is_seed, 0, 1), stable=True)
+    g = lambda a: a[pack]
+    sboundary = None if comps.boundary is None else comps.boundary[order]
+    saux = None if comps.aux_median is None else comps.aux_median[order]
     return ComponentStats(
-        x=jnp.where(g(is_root), g(mx0).astype(jnp.int32), 0),
-        y=jnp.where(g(is_root), g(my0).astype(jnp.int32), 0),
-        w=jnp.where(g(is_root), (g(mx1) - g(mx0)).astype(jnp.int32), 0),
-        h=jnp.where(g(is_root), (g(my1) - g(my0)).astype(jnp.int32), 0),
-        area=jnp.where(g(is_root), g(mass), 0),
-        cx=jnp.where(g(is_root), g(cxs) / g(denom), 0.0),
-        cy=jnp.where(g(is_root), g(cys) / g(denom), 0.0),
-        valid=g(is_root),
+        x=jnp.where(g(is_seed), g(bx).astype(jnp.int32), 0),
+        y=jnp.where(g(is_seed), g(by).astype(jnp.int32), 0),
+        w=jnp.where(g(is_seed), g(bw).astype(jnp.int32), 0),
+        h=jnp.where(g(is_seed), g(bh).astype(jnp.int32), 0),
+        area=jnp.where(g(is_seed), g(mass), 0),
+        cx=jnp.where(g(is_seed), g(cxs) / g(denom), 0.0),
+        cy=jnp.where(g(is_seed), g(cys) / g(denom), 0.0),
+        valid=g(is_seed),
         overflow=comps.overflow,
-        # merged thumbnail stats: boundaries of disjoint members add; the
+        # merged thumbnail stats: boundaries of group members add; the
         # median approximates as the mass-dominant member's
         boundary=None
-        if comps.boundary is None
+        if sboundary is None
         else jnp.where(
-            g(is_root),
-            g(jnp.sum(jnp.where(eq, comps.boundary[None, :], 0), axis=1)),
+            g(is_seed),
+            g(jnp.sum(jnp.where(eq, sboundary[None, :], 0), axis=1)),
             0,
         ),
         aux_median=None
-        if comps.aux_median is None
+        if saux is None
         else jnp.where(
-            g(is_root),
-            g(
-                comps.aux_median[
-                    jnp.argmax(jnp.where(eq, comps.area[None, :], -1), axis=1)
-                ]
-            ),
+            g(is_seed),
+            g(saux[jnp.argmax(jnp.where(eq, sarea[None, :], -1), axis=1)]),
             0.0,
         ),
     )
-
 
 def calculate_mass(filtered_f32: jax.Array, threshold: jax.Array) -> jax.Array:
     """reference region.calculate_mass: float blur then count(> threshold).

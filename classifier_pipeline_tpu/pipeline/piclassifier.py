@@ -645,11 +645,15 @@ class PiClassifier:
 
         tracks = self.tracker.all_tracks()
         if self.type == "IR":
-            # reference IRTrackExtractor filter knobs (pipeline/ir_extractor)
+            # reference IR tracking config (trackingconfig.py:186-187
+            # track_min_offset=20) rescaled by the detection scale
+            # (trackingconfig.rescale:234 — the Pi runs detect at 0.25)
+            scale = getattr(self.tracker_params, "detect_scale", 1.0) or 1.0
             filter_cfg = {
                 "track_min_delta": 1.0,
                 "track_max_delta": 150,
-                "track_min_offset": 20,
+                "track_min_offset": 20 * scale,
+                "track_min_mass": 2.0 * scale,
                 "min_duration_secs": 0,
             }
         else:

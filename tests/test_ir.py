@@ -128,3 +128,89 @@ def test_irwriter_roundtrip_and_tf_oracle(tmp_path):
     assert int(rows[0]["image/class/label"]) == 0
     dec = tf.image.decode_png(rows[0]["image/thermalencoded"], channels=1)
     assert dec.shape[:2] == (24, 32)
+
+
+@pytest.mark.oracle
+def test_ir_detect_and_merge_vs_reference_oracle():
+    """Per-region oracle for the IR detection layer ABOVE the MOG2 core
+    (round-4 VERDICT stretch item): the reference's own detect_objects_ir
+    (imageprocessing.py:185-199 — tuple-kernel MORPH_OPEN quirk included)
+    + IRTrackExtractor.merge_components (irtrackextractor.py:324-389,
+    scale=0.25 Pi constants) run over synthetic foreground masks, and our
+    ops.detect_objects_ir + merge_components_ir must produce the same
+    merged regions (x, y, w, h, mass) for every scene."""
+    import sys
+    import types
+
+    cv2 = pytest.importorskip("cv2")
+    sys.path.insert(0, "/root/repo/tools")
+    from mint_goldens import install_shims
+
+    install_shims()
+    sys.path.insert(0, "/root/reference/src")
+    import jax.numpy as jnp
+    from ml_tools.imageprocessing import detect_objects_ir as ref_detect
+    from track.irtrackextractor import IRTrackExtractor
+
+    from classifier_pipeline_tpu.ops import imageops as ops
+
+    scale = 0.25
+    H, W = 120, 160  # 640x480 at the Pi's 0.25 detection scale
+    rng = np.random.default_rng(3)
+
+    scenes = []
+    # separated blobs
+    m = np.zeros((H, W), np.uint8)
+    m[20:40, 30:55] = 255
+    m[70:95, 100:130] = 255
+    scenes.append(m)
+    # close pair (within MAX_GAP*scale=10) -> must merge
+    m = np.zeros((H, W), np.uint8)
+    m[30:50, 40:60] = 255
+    m[30:50, 66:84] = 255
+    scenes.append(m)
+    # axis-overlapping L-shapes + a tiny fragment under min_mass
+    m = np.zeros((H, W), np.uint8)
+    m[10:30, 10:26] = 255
+    m[28:44, 22:40] = 255
+    m[100:102, 140:142] = 255  # 4 px: below min_mass AND min_size
+    scenes.append(m)
+    # speckle noise scene (MORPH_OPEN should eat singles)
+    m = (rng.random((H, W)) < 0.004).astype(np.uint8) * 255
+    m[60:80, 60:90] = 255
+    scenes.append(m)
+    # many blobs on a grid, some chains merging transitively
+    m = np.zeros((H, W), np.uint8)
+    for k in range(6):
+        x0 = 8 + k * 24
+        m[55:70, x0:x0 + 16] = 255
+    scenes.append(m)
+
+    stub = types.SimpleNamespace(scale=scale)
+    for si, mask in enumerate(scenes):
+        # reference: open+threshold+CCL, then merge at scale
+        _, _, stats = ref_detect(mask, threshold=0)
+        rects = [list(map(int, r[:5])) for r in stats[1:]]
+        ref_merged = IRTrackExtractor.merge_components(stub, rects)
+        want = sorted(
+            (int(r[0]), int(r[1]), int(r[2]), int(r[3]), int(r[4]))
+            for r in ref_merged
+        )
+
+        det_mask, comps = ops.detect_objects_ir(
+            jnp.asarray(mask, jnp.int32), jnp.float32(0.0), 24
+        )
+        merged = ops.merge_components_ir(
+            comps, max_gap=40.0 * scale,
+            min_mass=int(10 * 4 * scale), min_size=int(16 * scale),
+        )
+        got = sorted(
+            (int(x), int(y), int(w), int(h), int(a))
+            for x, y, w, h, a, v in zip(
+                np.asarray(merged.x), np.asarray(merged.y),
+                np.asarray(merged.w), np.asarray(merged.h),
+                np.asarray(merged.area), np.asarray(merged.valid),
+            )
+            if v
+        )
+        assert got == want, f"scene {si}: {got} vs {want}"
