@@ -55,10 +55,13 @@ SMALL_BATCH = int(os.environ.get("BENCH_SMALL_BATCH", "32"))
 # at ~50 min with two 25-min inner hangs and zero salvage; keep every knob
 # well inside that envelope.
 TOTAL_BUDGET_S = int(os.environ.get("BENCH_TOTAL_BUDGET_S", "2500"))
-# A wedged client produces NO output with ~0 CPU; a healthy run logs a
-# stderr line every few seconds (and a cold Mosaic compile over the remote
-# service still finishes well under this). No output for this long = kill.
-STALL_TIMEOUT_S = int(os.environ.get("BENCH_STALL_TIMEOUT_S", "480"))
+# A wedged client produces NO output with ~0 CPU. A COLD Mosaic compile
+# over the remote service is also silent and locally idle — the two are
+# indistinguishable mid-flight — but every completed compile lands in the
+# persistent .jax_cache, so a kill-and-retry ACCRETES progress: each
+# attempt gets further. 600s balances wedge waste against killing healthy
+# cold compiles; with the committed warm cache the timer is moot.
+STALL_TIMEOUT_S = int(os.environ.get("BENCH_STALL_TIMEOUT_S", "600"))
 MAX_FAILURES = int(os.environ.get("BENCH_MAX_FAILURES", "6"))
 
 _START = time.time()
